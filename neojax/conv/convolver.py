@@ -1,0 +1,317 @@
+"""Uniformly-partitioned FDL convolvers (UPOLS / UPOLA) — the product.
+
+TPU-native counterpart of
+``src/neo/convolution/uniform_partitioned_convolver.hpp:14-66`` and its
+aliases (``dense_convolver.hpp:20-39``, ``sparse_convolver.hpp:16-21``).
+The reference composes policy templates {overlap_save, overlap_add} x
+{dense, split, compressed FDL} x {dense, split, sparse filter}; here the
+same cross-product is a config dataclass over a single functional core:
+
+  config  (static)  : block size, partitions, channels, scheme, storage
+  params  (pytree)  : partitioned filter spectra (+ sparsity mask)
+  state   (pytree)  : {frame tail / overlap tail, FDL, }  — the scan carry
+
+Per block (UPOLS): frame = [previous block | new block] (2B samples) ->
+rfft -> push spectrum into the FDL -> MAC-reduce over partitions against
+the filter -> irfft -> last B samples. UPOLA: frame = zero-padded block,
+output = first B samples + carried overlap. Filter partition j always
+multiplies the spectrum j blocks old — the schedule the reference encodes
+with ``fdl_index``'s modular arithmetic (``fdl_index.hpp:24-36``).
+
+The state is an explicit pytree, so streaming jobs checkpoint/resume by
+serializing {tail, FDL} — a first-class feature (SURVEY.md section 5).
+
+Everything is batched-native over channels and shards over a device mesh:
+the channel axis is embarrassingly parallel (data parallel), the partition
+axis reduces (see ``neojax.dist``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from neojax.conv import fdl as fdl_lib
+from neojax.conv.overlap import stream_blocks, unstream_blocks
+from neojax.conv.partition import uniform_partition
+from neojax.conv.sparse import sparsity_mask
+from neojax.fft import api as fft_api
+from neojax.fft import matmul_backend
+
+__all__ = [
+    "PartitionedConfig",
+    "filter_params",
+    "init_state",
+    "step",
+    "process",
+    "Convolver",
+    "make_convolver",
+    "upols_convolver",
+    "upola_convolver",
+    "upola_convolver_v2",
+    "split_upols_convolver",
+    "split_upola_convolver",
+    "sparse_upols_convolver",
+    "sparse_upola_convolver",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class PartitionedConfig:
+    block_size: int
+    num_partitions: int
+    channels: int
+    scheme: str = "upols"  # "upols" | "upola"
+    storage: str = "dense"  # "dense" | "split" | "bf16" | "int16" | "int8"
+    fft_backend: str | None = None
+
+    @property
+    def transform_size(self) -> int:
+        return 2 * self.block_size
+
+    @property
+    def num_bins(self) -> int:
+        return self.block_size + 1
+
+    def __post_init__(self):
+        if self.scheme not in ("upols", "upola"):
+            raise ValueError(f"unknown scheme: {self.scheme!r}")
+        if self.storage not in fdl_lib.STORAGE_DTYPES:
+            raise ValueError(f"unknown storage: {self.storage!r}")
+
+
+def _canon_partitions(config: PartitionedConfig, partitions: jnp.ndarray) -> jnp.ndarray:
+    """[P,K] / [C,P,K] / [1,P,K] -> [P, C', K] with C' in {1, channels}."""
+    partitions = jnp.asarray(partitions)
+    if partitions.ndim == 2:
+        partitions = partitions[None]
+    if partitions.ndim != 3:
+        raise ValueError(f"filter partitions must be rank 2 or 3, got {partitions.ndim}")
+    c = partitions.shape[0]
+    if c not in (1, config.channels):
+        raise ValueError(
+            f"filter has {c} channels, config expects 1 (shared) or {config.channels}"
+        )
+    if partitions.shape[1] != config.num_partitions or partitions.shape[2] != config.num_bins:
+        raise ValueError(
+            f"filter shape {partitions.shape[1:]} != "
+            f"({config.num_partitions}, {config.num_bins})"
+        )
+    return jnp.moveaxis(partitions, 0, 1)  # [P, C', K]
+
+
+def filter_params(
+    config: PartitionedConfig, partitions: jnp.ndarray, sparsity: Any = None
+) -> dict:
+    """Build filter params from partitioned spectra ([C|1, P, K] complex).
+
+    ``sparsity``: optional predicate ``(row, col, value) -> bool`` or a
+    boolean mask broadcastable to the filter; kept bins stay, others zero
+    (the reference's sparse_filter/CSR semantics, mask-form for TPU).
+    """
+    filt = _canon_partitions(config, partitions).astype(jnp.complex64)
+
+    mask = None
+    if sparsity is not None:
+        if callable(sparsity):
+            per_channel = jnp.moveaxis(filt, 1, 0)  # [C', P, K]
+            mask = jnp.moveaxis(sparsity_mask(per_channel, sparsity), 0, 1)
+        else:
+            mask = jnp.broadcast_to(jnp.asarray(sparsity, bool), filt.shape)
+        filt = jnp.where(mask, filt, 0.0)
+
+    params = {}
+    if config.storage == "dense":
+        params["filt"] = filt
+    else:
+        params["filt_re"] = jnp.real(filt).astype(jnp.float32)
+        params["filt_im"] = jnp.imag(filt).astype(jnp.float32)
+    if mask is not None:
+        params["mask"] = mask
+    return params
+
+
+def init_state(config: PartitionedConfig) -> dict:
+    return {
+        "tail": jnp.zeros((config.channels, config.block_size), jnp.float32),
+        "fdl": fdl_lib.fdl_init(
+            config.storage, config.num_partitions, config.channels, config.num_bins
+        ),
+    }
+
+
+def _use_split_fft(config: PartitionedConfig) -> bool:
+    backend = config.fft_backend or fft_api.get_backend()
+    return backend == "matmul" and config.storage != "dense"
+
+
+def step(config: PartitionedConfig, params: dict, state: dict, block: jnp.ndarray):
+    """One streaming block: [C, B] in -> [C, B] out (pure; state is the carry)."""
+    b = config.block_size
+    n = config.transform_size
+    k = config.num_bins
+
+    if block.shape[-1] != b:
+        raise ValueError(f"block size {block.shape[-1]} != configured {b}")
+
+    if config.scheme == "upols":
+        frame = jnp.concatenate([state["tail"], block], axis=-1)  # [C, 2B]
+        new_tail = block
+    else:  # upola
+        frame = jnp.pad(block, [(0, 0)] * (block.ndim - 1) + [(0, n - b)])
+        new_tail = None  # set below from irfft output
+
+    if config.storage == "dense":
+        spec = fft_api.rfft(frame, n=n, backend=config.fft_backend)[..., :k]
+        new_fdl = fdl_lib.fdl_push_dense(state["fdl"], spec)
+        acc = fdl_lib.fdl_mac_dense(new_fdl, params["filt"])
+        y = fft_api.irfft(acc, n=n, backend=config.fft_backend)
+    else:
+        if _use_split_fft(config):
+            spec_re, spec_im = matmul_backend.rfft_split(frame, n)
+        else:
+            spec = fft_api.rfft(frame, n=n, backend=config.fft_backend)[..., :k]
+            spec_re = jnp.real(spec)
+            spec_im = jnp.imag(spec)
+        new_fdl = fdl_lib.fdl_push_split(state["fdl"], spec_re, spec_im)
+        acc_re, acc_im = fdl_lib.fdl_mac_split(
+            new_fdl, params["filt_re"], params["filt_im"]
+        )
+        if _use_split_fft(config):
+            y = matmul_backend.irfft_split(acc_re, acc_im, n)
+        else:
+            y = fft_api.irfft(
+                jax.lax.complex(acc_re, acc_im), n=n, backend=config.fft_backend
+            )
+
+    if config.scheme == "upols":
+        out = y[..., b:].astype(block.dtype)
+    else:
+        out = (y[..., :b] + state["tail"]).astype(block.dtype)
+        new_tail = y[..., b:].astype(jnp.float32)
+
+    return {"tail": new_tail.astype(jnp.float32), "fdl": new_fdl}, out
+
+
+def process(
+    config: PartitionedConfig, params: dict, state: dict, signal: jnp.ndarray
+):
+    """Stream a whole signal [C, T] (or [T]) through the convolver via scan."""
+    signal = jnp.asarray(signal)
+    squeeze = signal.ndim == 1
+    if squeeze:
+        signal = signal[None]
+    blocks, length = stream_blocks(signal, config.block_size)
+
+    def body(carry, blk):
+        new_carry, out = step(config, params, carry, blk)
+        return new_carry, out
+
+    state, outs = jax.lax.scan(body, state, blocks)
+    out = unstream_blocks(outs, length)
+    if squeeze:
+        out = out[0]
+    return state, out
+
+
+class Convolver:
+    """Stateful convenience wrapper mirroring the reference's ergonomics
+    (``convolver.filter(partitions); convolver(block)``), built on the pure
+    functional core. Use the functional API directly inside jit/scan."""
+
+    def __init__(
+        self,
+        scheme: str = "upols",
+        storage: str = "dense",
+        fft_backend: str | None = None,
+    ):
+        self._scheme = scheme
+        self._storage = storage
+        self._fft_backend = fft_backend
+        self.config: PartitionedConfig | None = None
+        self.params: dict | None = None
+        self.state: dict | None = None
+        self._jit_step = None
+        self._jit_process = None
+
+    def filter(self, partitions, sparsity: Any = None) -> None:
+        partitions = jnp.asarray(partitions)
+        if partitions.ndim == 2:
+            partitions = partitions[None]
+        channels, p, bins = partitions.shape
+        self.config = PartitionedConfig(
+            block_size=bins - 1,
+            num_partitions=p,
+            channels=channels,
+            scheme=self._scheme,
+            storage=self._storage,
+            fft_backend=self._fft_backend,
+        )
+        self.params = filter_params(self.config, partitions, sparsity=sparsity)
+        self.reset()
+        self._jit_step = jax.jit(partial(step, self.config))
+        self._jit_process = jax.jit(partial(process, self.config))
+
+    def reset(self) -> None:
+        if self.config is None:
+            raise RuntimeError("call filter() first")
+        self.state = init_state(self.config)
+
+    def __call__(self, block):
+        if self.config is None:
+            raise RuntimeError("call filter() first")
+        block = jnp.asarray(block, dtype=jnp.float32)
+        squeeze = block.ndim == 1
+        if squeeze:
+            block = block[None]
+        self.state, out = self._jit_step(self.params, self.state, block)
+        return out[0] if squeeze else out
+
+    def process(self, signal):
+        if self.config is None:
+            raise RuntimeError("call filter() first")
+        signal = jnp.asarray(signal, dtype=jnp.float32)
+        self.state, out = self._jit_process(self.params, self.state, signal)
+        return out
+
+
+def make_convolver(scheme: str = "upols", storage: str = "dense", **kw) -> Convolver:
+    return Convolver(scheme=scheme, storage=storage, **kw)
+
+
+# Aliases mirroring the reference convolver family
+# (``dense_convolver.hpp:20-39``, ``sparse_convolver.hpp:16-21``).
+def upols_convolver() -> Convolver:
+    return Convolver("upols", "dense")
+
+
+def upola_convolver() -> Convolver:
+    return Convolver("upola", "dense")
+
+
+def upola_convolver_v2() -> Convolver:
+    # The reference's v2 reschedules the tail-partition sum for arbitrary
+    # input lengths (``overlap_add_convolver.hpp:21-137``); block-for-block
+    # its output is identical, and on TPU the fused MAC already amortizes
+    # the partition sum, so v2 shares this implementation.
+    return Convolver("upola", "dense")
+
+
+def split_upols_convolver() -> Convolver:
+    return Convolver("upols", "split")
+
+
+def split_upola_convolver() -> Convolver:
+    return Convolver("upola", "split")
+
+
+def sparse_upols_convolver() -> Convolver:
+    return Convolver("upols", "dense")
+
+
+def sparse_upola_convolver() -> Convolver:
+    return Convolver("upola", "dense")

@@ -1,0 +1,119 @@
+"""Frequency-delay-line storage and the partition MAC-reduce.
+
+TPU-native counterpart of the reference's FDL machinery:
+``fdl_index`` (``src/neo/convolution/fdl_index.hpp:13-36``),
+``dense_fdl``/``dense_split_fdl`` (``dense_fdl.hpp:14,38``),
+``compressed_fdl`` (``compressed_fdl.hpp:17``) and the hot complex
+``multiply_add`` reduction (``algorithm/multiply_add.hpp:280-368``).
+
+Design note — *shift layout instead of a ring*: the reference keeps a ring
+buffer plus a modular write index and gathers filter partitions with
+``(write_pos + P - segment) % P``. Under XLA, a gather and a shift cost the
+same HBM traffic, so the XLA path stores the delay line with the newest
+spectrum at partition 0 (``fdl[j]`` = spectrum ``j`` blocks old) and the MAC
+becomes a plain elementwise-multiply + sum over partitions — no index
+arithmetic, fully fusable. The Pallas kernel path
+(``neojax.kernels.fdl_mac``) brings back the ring + scalar-prefetched write
+position to avoid the shift's extra write traffic.
+
+Layouts:
+  dense       : complex64  ``[P, C, K]``
+  split/bf16  : f32/bf16   ``[2, P, C, K]``  (plane 0 = re, 1 = im)
+  int16/int8  : tuple of intN ``[2, P, C, K]`` + f32 scales ``[P, C, 1]``
+
+Quantization note: the reference's ``compressed_fdl`` quantizes at a fixed
+full-scale of 1.0, which clips real FFT spectra (its own test only feeds
+values in [-1, 1], ``compressed_fdl_test.cpp``). Here each inserted spectrum
+is quantized with a *dynamic per-channel scale* (max-abs / int_max) carried
+alongside the integers; the dequant multiply fuses into the MAC. This meets
+the reference's documented tolerance bounds (int8 5e-3 / int16 1e-4) on
+real unit-range signals, not just pre-normalized spectra.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from neojax.ops.quantize import int_max_for
+
+__all__ = [
+    "STORAGE_DTYPES",
+    "fdl_init",
+    "fdl_push_dense",
+    "fdl_push_split",
+    "fdl_mac_dense",
+    "fdl_mac_split",
+]
+
+STORAGE_DTYPES = {
+    "dense": jnp.complex64,
+    "split": jnp.float32,
+    "bf16": jnp.bfloat16,
+    "int16": jnp.int16,
+    "int8": jnp.int8,
+}
+
+
+def _is_quantized(dtype) -> bool:
+    return jnp.dtype(dtype) in (jnp.dtype(jnp.int8), jnp.dtype(jnp.int16))
+
+
+def fdl_init(storage: str, num_partitions: int, channels: int, bins: int):
+    dtype = STORAGE_DTYPES[storage]
+    if storage == "dense":
+        return jnp.zeros((num_partitions, channels, bins), dtype)
+    planes = jnp.zeros((2, num_partitions, channels, bins), dtype)
+    if _is_quantized(dtype):
+        return (planes, jnp.ones((num_partitions, channels, 1), jnp.float32))
+    return planes
+
+
+def fdl_push_dense(fdl: jnp.ndarray, spec: jnp.ndarray) -> jnp.ndarray:
+    """Insert spec [C, K] as the newest entry of fdl [P, C, K]."""
+    return jnp.concatenate([spec[None], fdl[:-1]], axis=0)
+
+
+def fdl_push_split(fdl, spec_re: jnp.ndarray, spec_im: jnp.ndarray):
+    """Insert (re, im) [C, K] planes into the split FDL.
+
+    Float storage (f32/bf16): fdl is [2, P, C, K]; plain cast + shift.
+    Int storage: fdl is a (planes [2,P,C,K], scales [P,C,1]) tuple; the
+    spectrum is quantized at a per-channel dynamic scale.
+    """
+    spec = jnp.stack([spec_re, spec_im])  # [2, C, K]
+    if isinstance(fdl, tuple):
+        planes, scales = fdl
+        m = int_max_for(planes.dtype)
+        peak = jnp.max(jnp.abs(spec), axis=(0, 2), keepdims=False)  # [C]
+        scale = jnp.where(peak > 0, peak, 1.0)[:, None]  # [C, 1]
+        q = jnp.round(spec / scale[None] * m)
+        q = jnp.clip(q, -m, m).astype(planes.dtype)
+        new_planes = jnp.concatenate([q[:, None], planes[:, :-1]], axis=1)
+        new_scales = jnp.concatenate([scale[None], scales[:-1]], axis=0)
+        return (new_planes, new_scales)
+    spec = spec.astype(fdl.dtype)
+    return jnp.concatenate([spec[:, None], fdl[:, :-1]], axis=1)
+
+
+def fdl_mac_dense(fdl: jnp.ndarray, filt: jnp.ndarray) -> jnp.ndarray:
+    """acc[c,k] = sum_p fdl[p,c,k] * filt[p,c,k] (filt channel dim may be 1)."""
+    return jnp.sum(fdl * filt, axis=0)
+
+
+def fdl_mac_split(fdl, filt_re: jnp.ndarray, filt_im: jnp.ndarray):
+    """Split-complex MAC-reduce with fused dequantization.
+
+    fdl: [2, P, C, K] float planes, or (int planes, scales) tuple.
+    filt planes [P, C', K] f32 with C' in {C, 1}.
+    Returns (acc_re, acc_im) [C, K] f32, accumulating in f32.
+    """
+    if isinstance(fdl, tuple):
+        planes, scales = fdl
+        m = int_max_for(planes.dtype)
+        x = planes.astype(jnp.float32) * (scales * (1.0 / m))[None]
+    else:
+        x = fdl.astype(jnp.float32)
+    xr, xi = x[0], x[1]
+    acc_re = jnp.sum(xr * filt_re - xi * filt_im, axis=0)
+    acc_im = jnp.sum(xr * filt_im + xi * filt_re, axis=0)
+    return acc_re, acc_im

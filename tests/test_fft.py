@@ -1,0 +1,102 @@
+"""FFT family parity tests.
+
+Oracles follow the reference's strategy (SURVEY.md section 4): round-trips,
+cross-implementation checks against numpy and the naive DFT, both backends.
+"""
+
+import numpy as np
+import pytest
+
+import neojax
+from neojax import fft as nfft
+from neojax.ops import allclose
+
+
+ORDERS = range(2, 13)
+
+
+@pytest.mark.parametrize("order", ORDERS)
+@pytest.mark.parametrize("backend", ["xla", "matmul"])
+def test_fft_roundtrip(make_noise, order, backend):
+    n = 2**order
+    x = make_noise(n) + 1j * make_noise(n)
+    x = x.astype(np.complex64)
+    out = nfft.ifft(nfft.fft(x, backend=backend), backend=backend)
+    assert allclose(out, x, 1e-4 if n >= 2048 else 1e-5)
+
+
+@pytest.mark.parametrize("order", ORDERS)
+@pytest.mark.parametrize("backend", ["xla", "matmul"])
+def test_fft_vs_numpy(make_noise, order, backend):
+    n = 2**order
+    x = (make_noise(n) + 1j * make_noise(n)).astype(np.complex64)
+    ref = np.fft.fft(x)
+    out = nfft.fft(x, backend=backend)
+    assert np.max(np.abs(np.asarray(out) - ref)) < 1e-2 * np.sqrt(n) * 1e-3 + 1e-4
+
+
+@pytest.mark.parametrize("order", ORDERS)
+@pytest.mark.parametrize("backend", ["xla", "matmul"])
+def test_rfft_roundtrip(make_noise, order, backend):
+    n = 2**order
+    x = make_noise(n)
+    spec = nfft.rfft(x, backend=backend)
+    assert spec.shape == (n // 2 + 1,)
+    out = nfft.irfft(spec, n=n, backend=backend)
+    assert allclose(out, x, 1e-4 if n >= 2048 else 1e-5)
+
+
+@pytest.mark.parametrize("backend", ["xla", "matmul"])
+def test_rfft_vs_numpy(make_noise, backend):
+    x = make_noise(512)
+    ref = np.fft.rfft(x)
+    out = np.asarray(nfft.rfft(x, backend=backend))
+    assert np.max(np.abs(out - ref)) < 1e-3
+
+
+@pytest.mark.parametrize("norm", ["backward", "ortho", "forward"])
+def test_fft_norms_match_numpy(make_noise, norm):
+    x = (make_noise(256) + 1j * make_noise(256)).astype(np.complex64)
+    assert allclose(nfft.fft(x, norm=norm), np.fft.fft(x, norm=norm), 1e-4)
+    assert allclose(nfft.ifft(x, norm=norm), np.fft.ifft(x, norm=norm), 1e-4)
+
+
+def test_batched_rfft(make_noise):
+    x = make_noise(4, 256)
+    out = np.asarray(nfft.rfft(x, backend="matmul"))
+    ref = np.fft.rfft(x, axis=-1)
+    assert out.shape == ref.shape
+    assert np.max(np.abs(out - ref)) < 1e-3
+
+
+@pytest.mark.parametrize("n", [4, 5, 12, 31, 100, 257])
+def test_bluestein_dft_arbitrary_sizes(make_noise, n):
+    x = (make_noise(n) + 1j * make_noise(n)).astype(np.complex64)
+    fwd = np.asarray(nfft.dft(x, forward=True))
+    ref = np.fft.fft(x)
+    assert np.max(np.abs(fwd - ref)) < 1e-3
+
+    # Unnormalized backward like the reference plan: ifft * n == identity
+    bwd = np.asarray(nfft.dft(fwd, forward=False)) / n
+    assert np.max(np.abs(bwd - x)) < 1e-3
+
+
+@pytest.mark.parametrize("n", [4, 16, 64])
+def test_naive_dft_oracle(make_noise, n):
+    x = (make_noise(n) + 1j * make_noise(n)).astype(np.complex64)
+    assert allclose(nfft.naive_dft(x), np.fft.fft(x), 1e-3)
+
+
+@pytest.mark.parametrize("n", [8, 64, 256])
+def test_dct2(make_noise, n):
+    from scipy_free_dct import dct2_ref
+
+    x = make_noise(n)
+    out = np.asarray(nfft.dct2(x))
+    ref = dct2_ref(x)
+    assert np.max(np.abs(out - ref)) < 1e-3
+
+
+def test_rfftfreq():
+    assert allclose(nfft.rfftfreq(8, d=1.0), np.fft.rfftfreq(8, d=1.0), 1e-6)
+    assert allclose(nfft.rfftfreq(1024, d=1 / 48000), np.fft.rfftfreq(1024, d=1 / 48000), 1e-2)
