@@ -1,0 +1,97 @@
+"""WAV convolver CLI — counterpart of the reference's ``neo_convolver``
+(``extra/cli/src/convolver.cpp:60-148``): load signal + impulse WAVs,
+normalize the impulse, uniformly partition it, stream the signal through a
+partitioned convolver, report wall time + real-time factor, write the
+result.
+
+Usage:
+    python -m neojax.cli signal.wav impulse.wav out.wav \
+        [--block 4096] [--engine upols|upola] \
+        [--storage dense|split|bf16|int16|int8] [--threshold-db DB]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="neojax-convolver", description=__doc__)
+    ap.add_argument("signal")
+    ap.add_argument("impulse")
+    ap.add_argument("output")
+    ap.add_argument("--block", type=int, default=4096)
+    ap.add_argument("--engine", default="upols", choices=["upols", "upola"])
+    ap.add_argument(
+        "--storage",
+        default=None,
+        choices=["dense", "split", "bf16", "int16", "int8"],
+        help="FDL storage (default: platform-appropriate)",
+    )
+    ap.add_argument(
+        "--threshold-db",
+        type=float,
+        default=None,
+        help="enable perceptual sparsification at this threshold (dB)",
+    )
+    ap.add_argument("--bits", type=int, default=16, choices=[16, 32])
+    args = ap.parse_args(argv)
+
+    from neojax import conv
+    from neojax.conv.sparse import perceptual_mask
+    from neojax.io.wav import read_wav, write_wav
+
+    sig, sr = read_wav(args.signal)
+    ir, ir_sr = read_wav(args.impulse)
+    if ir_sr != sr:
+        print(f"warning: resampling not implemented; impulse {ir_sr} Hz vs signal {sr} Hz",
+              file=sys.stderr)
+
+    print(f"signal: {sig.shape[0]} ch x {sig.shape[1]} frames @ {sr} Hz")
+    print(f"impulse: {ir.shape[0]} ch x {ir.shape[1]} frames")
+
+    ir = np.asarray(conv.normalize_impulse(ir))
+    parts = conv.uniform_partition(ir, args.block)
+
+    # Match channel counts: broadcast a mono IR, or error on mismatch.
+    if parts.shape[0] == 1 and sig.shape[0] > 1:
+        pass  # shared filter
+    elif parts.shape[0] != sig.shape[0]:
+        print(f"error: {sig.shape[0]} signal channels vs {parts.shape[0]} impulse channels",
+              file=sys.stderr)
+        return 2
+
+    sparsity = None
+    if args.threshold_db is not None:
+        sparsity = perceptual_mask(parts, float(sr), args.threshold_db)
+        density = float(np.mean(sparsity))
+        print(f"perceptual mask: {density * 100:.1f}% bins kept")
+
+    c = conv.make_convolver(args.engine, args.storage)
+    c.filter(parts, sparsity=sparsity)
+
+    t0 = time.perf_counter()
+    out = np.asarray(c.process(sig))
+    dt = time.perf_counter() - t0
+
+    out_seconds = sig.shape[1] / sr
+    print(f"processed {out_seconds:.2f} s in {dt:.3f} s "
+          f"-> real-time factor {out_seconds / dt:.1f}x "
+          f"({sig.shape[0] * sig.shape[1] / dt / 1e6:.1f} M samples/s)")
+
+    peak = np.max(np.abs(out))
+    if peak > 1.0:
+        out = out / peak
+        print(f"normalized output peak {peak:.3f} -> 1.0")
+
+    write_wav(args.output, out, sr, bits=args.bits)
+    print(f"wrote {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

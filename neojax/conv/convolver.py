@@ -32,6 +32,7 @@ import dataclasses
 from functools import partial
 from typing import Any
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -68,6 +69,13 @@ class PartitionedConfig:
     scheme: str = "upols"  # "upols" | "upola"
     storage: str = "dense"  # "dense" | "split" | "bf16" | "int16" | "int8"
     fft_backend: str | None = None
+    # "ring": fdl_index-style ring buffer + write position (one-row insert,
+    # contiguous rotated-filter slice — the fast path). "shift": newest-first
+    # shift layout (simplest dataflow; used by the distributed pipeline).
+    layout: str = "ring"
+    # MAC engine for the partition reduce: "xla" (fused jnp) or "pallas"
+    # (neojax.kernels.fdl_mac); "auto" picks per platform/storage.
+    mac_backend: str = "auto"
 
     @property
     def transform_size(self) -> int:
@@ -82,11 +90,14 @@ class PartitionedConfig:
             raise ValueError(f"unknown scheme: {self.scheme!r}")
         if self.storage not in fdl_lib.STORAGE_DTYPES:
             raise ValueError(f"unknown storage: {self.storage!r}")
+        if self.layout not in ("ring", "shift"):
+            raise ValueError(f"unknown layout: {self.layout!r}")
+        if self.mac_backend not in ("auto", "xla", "pallas"):
+            raise ValueError(f"unknown mac_backend: {self.mac_backend!r}")
 
 
-def _canon_partitions(config: PartitionedConfig, partitions: jnp.ndarray) -> jnp.ndarray:
+def _canon_partitions(config: PartitionedConfig, partitions: "np.ndarray") -> "np.ndarray":
     """[P,K] / [C,P,K] / [1,P,K] -> [P, C', K] with C' in {1, channels}."""
-    partitions = jnp.asarray(partitions)
     if partitions.ndim == 2:
         partitions = partitions[None]
     if partitions.ndim != 3:
@@ -101,52 +112,93 @@ def _canon_partitions(config: PartitionedConfig, partitions: jnp.ndarray) -> jnp
             f"filter shape {partitions.shape[1:]} != "
             f"({config.num_partitions}, {config.num_bins})"
         )
-    return jnp.moveaxis(partitions, 0, 1)  # [P, C', K]
+    return np.moveaxis(partitions, 0, 1)  # [P, C', K]
+
+
+def _np_tile_reverse(filt: "np.ndarray") -> "np.ndarray":
+    rev = filt[::-1]
+    return np.concatenate([rev, rev], axis=0)
 
 
 def filter_params(
-    config: PartitionedConfig, partitions: jnp.ndarray, sparsity: Any = None
+    config: PartitionedConfig, partitions, sparsity: Any = None
 ) -> dict:
     """Build filter params from partitioned spectra ([C|1, P, K] complex).
+
+    Filter preparation is *host-side* (numpy): complex dtypes are a host
+    convenience only — TPU runtimes need not support complex64 at all, so
+    only the final float32 re/im planes (or, for the CPU-only "dense"
+    storage, the complex array) ever reach a device.
 
     ``sparsity``: optional predicate ``(row, col, value) -> bool`` or a
     boolean mask broadcastable to the filter; kept bins stay, others zero
     (the reference's sparse_filter/CSR semantics, mask-form for TPU).
     """
-    filt = _canon_partitions(config, partitions).astype(jnp.complex64)
+    filt = _canon_partitions(config, np.asarray(partitions)).astype(np.complex64)
 
     mask = None
     if sparsity is not None:
         if callable(sparsity):
-            per_channel = jnp.moveaxis(filt, 1, 0)  # [C', P, K]
-            mask = jnp.moveaxis(sparsity_mask(per_channel, sparsity), 0, 1)
+            per_channel = np.moveaxis(filt, 1, 0)  # [C', P, K]
+            mask = np.moveaxis(np.asarray(sparsity_mask(per_channel, sparsity)), 0, 1)
         else:
-            mask = jnp.broadcast_to(jnp.asarray(sparsity, bool), filt.shape)
-        filt = jnp.where(mask, filt, 0.0)
+            # Mask arrays use the same channel-first layout as the filter
+            # input ([P,K] or [C|1,P,K]); canonicalize to [P, C', K] and pad
+            # any missing (zero-padded) partitions with False.
+            mask = np.asarray(sparsity, bool)
+            if mask.ndim == 2:
+                mask = mask[None]
+            mask = np.moveaxis(mask, 0, 1)
+            if mask.shape[0] < filt.shape[0]:
+                pad = np.zeros((filt.shape[0] - mask.shape[0],) + mask.shape[1:], bool)
+                mask = np.concatenate([mask, pad], axis=0)
+            mask = np.broadcast_to(mask, filt.shape)
+        filt = np.where(mask, filt, 0)
 
     params = {}
+    ring = config.layout == "ring"
     if config.storage == "dense":
-        params["filt"] = filt
+        params["filt"] = jnp.asarray(_np_tile_reverse(filt) if ring else filt)
     else:
-        params["filt_re"] = jnp.real(filt).astype(jnp.float32)
-        params["filt_im"] = jnp.imag(filt).astype(jnp.float32)
+        fr = np.real(filt).astype(np.float32)
+        fi = np.imag(filt).astype(np.float32)
+        if ring:
+            fr = _np_tile_reverse(fr)
+            fi = _np_tile_reverse(fi)
+        params["filt_re"] = jnp.asarray(fr)
+        params["filt_im"] = jnp.asarray(fi)
     if mask is not None:
-        params["mask"] = mask
+        params["mask"] = jnp.asarray(mask)
     return params
 
 
 def init_state(config: PartitionedConfig) -> dict:
-    return {
+    state = {
         "tail": jnp.zeros((config.channels, config.block_size), jnp.float32),
         "fdl": fdl_lib.fdl_init(
             config.storage, config.num_partitions, config.channels, config.num_bins
         ),
     }
+    if config.layout == "ring":
+        state["pos"] = jnp.zeros((), jnp.int32)
+    return state
 
 
 def _use_split_fft(config: PartitionedConfig) -> bool:
-    backend = config.fft_backend or fft_api.get_backend()
+    backend = fft_api._resolve_backend(config.fft_backend, config.transform_size)
     return backend == "matmul" and config.storage != "dense"
+
+
+def _use_pallas_mac(config: PartitionedConfig) -> bool:
+    if config.storage == "dense":
+        return False
+    if config.mac_backend == "pallas":
+        return True
+    if config.mac_backend == "xla":
+        return False
+    # auto: the Pallas kernel is TPU-only; quantized storage stays on the
+    # XLA path until the kernel's scale broadcast is lane-efficient.
+    return jax.default_backend() == "tpu" and config.storage in ("split", "bf16")
 
 
 def step(config: PartitionedConfig, params: dict, state: dict, block: jnp.ndarray):
@@ -165,10 +217,19 @@ def step(config: PartitionedConfig, params: dict, state: dict, block: jnp.ndarra
         frame = jnp.pad(block, [(0, 0)] * (block.ndim - 1) + [(0, n - b)])
         new_tail = None  # set below from irfft output
 
+    ring = config.layout == "ring"
+    p = config.num_partitions
+    pos = state.get("pos")
+
     if config.storage == "dense":
         spec = fft_api.rfft(frame, n=n, backend=config.fft_backend)[..., :k]
-        new_fdl = fdl_lib.fdl_push_dense(state["fdl"], spec)
-        acc = fdl_lib.fdl_mac_dense(new_fdl, params["filt"])
+        if ring:
+            new_fdl = fdl_lib.fdl_ring_push_dense(state["fdl"], spec, pos)
+            filt = fdl_lib.rotated_filter(params["filt"], pos, p)
+        else:
+            new_fdl = fdl_lib.fdl_push_dense(state["fdl"], spec)
+            filt = params["filt"]
+        acc = fdl_lib.fdl_mac_dense(new_fdl, filt)
         y = fft_api.irfft(acc, n=n, backend=config.fft_backend)
     else:
         if _use_split_fft(config):
@@ -177,10 +238,26 @@ def step(config: PartitionedConfig, params: dict, state: dict, block: jnp.ndarra
             spec = fft_api.rfft(frame, n=n, backend=config.fft_backend)[..., :k]
             spec_re = jnp.real(spec)
             spec_im = jnp.imag(spec)
-        new_fdl = fdl_lib.fdl_push_split(state["fdl"], spec_re, spec_im)
-        acc_re, acc_im = fdl_lib.fdl_mac_split(
-            new_fdl, params["filt_re"], params["filt_im"]
-        )
+        if ring:
+            new_fdl = fdl_lib.fdl_ring_push_split(state["fdl"], spec_re, spec_im, pos)
+            filt_re = fdl_lib.rotated_filter(params["filt_re"], pos, p)
+            filt_im = fdl_lib.rotated_filter(params["filt_im"], pos, p)
+        else:
+            new_fdl = fdl_lib.fdl_push_split(state["fdl"], spec_re, spec_im)
+            filt_re = params["filt_re"]
+            filt_im = params["filt_im"]
+        if _use_pallas_mac(config):
+            from neojax.kernels.fdl_mac import fdl_mac_pallas
+
+            if isinstance(new_fdl, tuple):
+                planes, scales = new_fdl
+                acc_re, acc_im = fdl_mac_pallas(
+                    planes, filt_re, filt_im, scales[..., 0]
+                )
+            else:
+                acc_re, acc_im = fdl_mac_pallas(new_fdl, filt_re, filt_im)
+        else:
+            acc_re, acc_im = fdl_lib.fdl_mac_split(new_fdl, filt_re, filt_im)
         if _use_split_fft(config):
             y = matmul_backend.irfft_split(acc_re, acc_im, n)
         else:
@@ -194,7 +271,10 @@ def step(config: PartitionedConfig, params: dict, state: dict, block: jnp.ndarra
         out = (y[..., :b] + state["tail"]).astype(block.dtype)
         new_tail = y[..., b:].astype(jnp.float32)
 
-    return {"tail": new_tail.astype(jnp.float32), "fdl": new_fdl}, out
+    new_state = {"tail": new_tail.astype(jnp.float32), "fdl": new_fdl}
+    if ring:
+        new_state["pos"] = (pos + 1) % p
+    return new_state, out
 
 
 def process(
@@ -226,9 +306,13 @@ class Convolver:
     def __init__(
         self,
         scheme: str = "upols",
-        storage: str = "dense",
+        storage: str | None = None,
         fft_backend: str | None = None,
     ):
+        if storage is None:
+            # complex64 is a host/CPU convenience; on TPU the split
+            # (planar re/im float) storage is the native layout.
+            storage = "dense" if jax.default_backend() == "cpu" else "split"
         self._scheme = scheme
         self._storage = storage
         self._fft_backend = fft_backend
@@ -239,10 +323,27 @@ class Convolver:
         self._jit_process = None
 
     def filter(self, partitions, sparsity: Any = None) -> None:
-        partitions = jnp.asarray(partitions)
+        partitions = np.asarray(partitions)
         if partitions.ndim == 2:
             partitions = partitions[None]
+        # Pad the partition count to a multiple of 32 with zero partitions:
+        # the extra ring slots carry real (but zero-weighted) spectra, so
+        # results are exact, and the Pallas MAC always gets full chunks.
+        p_in = partitions.shape[1]
+        p_pad = -(-p_in // 32) * 32
+        if p_pad != p_in:
+            partitions = np.concatenate(
+                [
+                    partitions,
+                    np.zeros(
+                        (partitions.shape[0], p_pad - p_in, partitions.shape[2]),
+                        partitions.dtype,
+                    ),
+                ],
+                axis=1,
+            )
         channels, p, bins = partitions.shape
+        self._filter_channels = channels
         self.config = PartitionedConfig(
             block_size=bins - 1,
             num_partitions=p,
@@ -260,6 +361,25 @@ class Convolver:
         if self.config is None:
             raise RuntimeError("call filter() first")
         self.state = init_state(self.config)
+        self._streamed = False
+
+    def _bind_channels(self, channels: int) -> None:
+        """Late channel binding: a shared (mono) filter serves any channel
+        count — like the reference plugin instantiating one convolver per
+        signal channel over one IR (``DenseConvolution.cpp:151-154``)."""
+        if self.config.channels == channels:
+            return
+        if self._filter_channels != 1:
+            raise ValueError(
+                f"signal has {channels} channels but filter has "
+                f"{self._filter_channels}"
+            )
+        if self._streamed:
+            raise RuntimeError("cannot change channel count mid-stream; reset() first")
+        self.config = dataclasses.replace(self.config, channels=channels)
+        self.state = init_state(self.config)
+        self._jit_step = jax.jit(partial(step, self.config))
+        self._jit_process = jax.jit(partial(process, self.config))
 
     def __call__(self, block):
         if self.config is None:
@@ -268,29 +388,33 @@ class Convolver:
         squeeze = block.ndim == 1
         if squeeze:
             block = block[None]
+        self._bind_channels(block.shape[0])
         self.state, out = self._jit_step(self.params, self.state, block)
+        self._streamed = True
         return out[0] if squeeze else out
 
     def process(self, signal):
         if self.config is None:
             raise RuntimeError("call filter() first")
         signal = jnp.asarray(signal, dtype=jnp.float32)
+        self._bind_channels(signal.shape[0] if signal.ndim > 1 else 1)
         self.state, out = self._jit_process(self.params, self.state, signal)
+        self._streamed = True
         return out
 
 
-def make_convolver(scheme: str = "upols", storage: str = "dense", **kw) -> Convolver:
+def make_convolver(scheme: str = "upols", storage: str | None = None, **kw) -> Convolver:
     return Convolver(scheme=scheme, storage=storage, **kw)
 
 
 # Aliases mirroring the reference convolver family
 # (``dense_convolver.hpp:20-39``, ``sparse_convolver.hpp:16-21``).
 def upols_convolver() -> Convolver:
-    return Convolver("upols", "dense")
+    return Convolver("upols")
 
 
 def upola_convolver() -> Convolver:
-    return Convolver("upola", "dense")
+    return Convolver("upola")
 
 
 def upola_convolver_v2() -> Convolver:
@@ -298,7 +422,7 @@ def upola_convolver_v2() -> Convolver:
     # input lengths (``overlap_add_convolver.hpp:21-137``); block-for-block
     # its output is identical, and on TPU the fused MAC already amortizes
     # the partition sum, so v2 shares this implementation.
-    return Convolver("upola", "dense")
+    return Convolver("upola")
 
 
 def split_upols_convolver() -> Convolver:
@@ -310,8 +434,8 @@ def split_upola_convolver() -> Convolver:
 
 
 def sparse_upols_convolver() -> Convolver:
-    return Convolver("upols", "dense")
+    return Convolver("upols")
 
 
 def sparse_upola_convolver() -> Convolver:
-    return Convolver("upola", "dense")
+    return Convolver("upola")

@@ -6,15 +6,22 @@ TPU-native counterpart of the reference's FDL machinery:
 ``compressed_fdl`` (``compressed_fdl.hpp:17``) and the hot complex
 ``multiply_add`` reduction (``algorithm/multiply_add.hpp:280-368``).
 
-Design note — *shift layout instead of a ring*: the reference keeps a ring
-buffer plus a modular write index and gathers filter partitions with
-``(write_pos + P - segment) % P``. Under XLA, a gather and a shift cost the
-same HBM traffic, so the XLA path stores the delay line with the newest
-spectrum at partition 0 (``fdl[j]`` = spectrum ``j`` blocks old) and the MAC
-becomes a plain elementwise-multiply + sum over partitions — no index
-arithmetic, fully fusable. The Pallas kernel path
-(``neojax.kernels.fdl_mac``) brings back the ring + scalar-prefetched write
-position to avoid the shift's extra write traffic.
+Two layouts:
+
+*shift* — the delay line stores the newest spectrum at partition 0
+(``fdl[j]`` = spectrum ``j`` blocks old); insertion shifts the whole
+array. Simple, but the shift rewrites all P*C*K entries per block — 3x
+the theoretical HBM traffic.
+
+*ring* (default) — like the reference, a ring buffer plus a modular write
+position (``fdl_index.hpp:24-36``): insertion is a single-row
+``dynamic_update_slice`` (in-place in the scan carry under XLA buffer
+donation), and instead of gathering filter partitions with
+``(write_pos + P - segment) % P`` per step, the filter is stored
+*reversed and tiled twice* ``[2P, C', K]`` so the correctly-rotated
+filter view is one contiguous ``dynamic_slice`` starting at
+``P - 1 - write_pos``. Per block the ring path touches ~P*C*K reads +
+one row write — speed-of-light for this memory-bound MAC.
 
 Layouts:
   dense       : complex64  ``[P, C, K]``
@@ -32,6 +39,7 @@ real unit-range signals, not just pre-normalized spectra.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from neojax.ops.quantize import int_max_for
@@ -43,6 +51,10 @@ __all__ = [
     "fdl_push_split",
     "fdl_mac_dense",
     "fdl_mac_split",
+    "tile_reverse_filter",
+    "rotated_filter",
+    "fdl_ring_push_dense",
+    "fdl_ring_push_split",
 ]
 
 STORAGE_DTYPES = {
@@ -98,6 +110,49 @@ def fdl_push_split(fdl, spec_re: jnp.ndarray, spec_im: jnp.ndarray):
 def fdl_mac_dense(fdl: jnp.ndarray, filt: jnp.ndarray) -> jnp.ndarray:
     """acc[c,k] = sum_p fdl[p,c,k] * filt[p,c,k] (filt channel dim may be 1)."""
     return jnp.sum(fdl * filt, axis=0)
+
+
+# ----------------------------------------------------------------- ring ops
+
+
+def tile_reverse_filter(filt: jnp.ndarray) -> jnp.ndarray:
+    """[P, C', K] -> [2P, C', K] reversed+tiled, so that the rotation
+    ``filt[(w - i) % P]`` for i in 0..P-1 equals the contiguous window
+    ``tiled[P - 1 - w : 2P - 1 - w]``."""
+    rev = filt[::-1]
+    return jnp.concatenate([rev, rev], axis=0)
+
+
+def rotated_filter(filt_tiled: jnp.ndarray, write_pos, num_partitions: int) -> jnp.ndarray:
+    """Contiguous dynamic-slice view of the tiled filter aligned to the ring:
+    result[i] = filt[(write_pos - i) mod P], i.e. the partition that must
+    multiply ring slot i (which holds the spectrum aged (write_pos - i) mod P)."""
+    start = num_partitions - 1 - write_pos
+    return jax.lax.dynamic_slice_in_dim(filt_tiled, start, num_partitions, axis=0)
+
+
+def fdl_ring_push_dense(fdl: jnp.ndarray, spec: jnp.ndarray, write_pos) -> jnp.ndarray:
+    """In-place (donated) insert of spec [C, K] at ring slot write_pos."""
+    z = jnp.zeros((), write_pos.dtype)
+    return jax.lax.dynamic_update_slice(fdl, spec[None].astype(fdl.dtype), (write_pos, z, z))
+
+
+def fdl_ring_push_split(fdl, spec_re, spec_im, write_pos):
+    spec = jnp.stack([spec_re, spec_im])  # [2, C, K]
+    if isinstance(fdl, tuple):
+        planes, scales = fdl
+        m = int_max_for(planes.dtype)
+        peak = jnp.max(jnp.abs(spec), axis=(0, 2))  # [C]
+        scale = jnp.where(peak > 0, peak, 1.0)[:, None]  # [C, 1]
+        q = jnp.clip(jnp.round(spec / scale[None] * m), -m, m).astype(planes.dtype)
+        z = jnp.zeros((), write_pos.dtype)
+        new_planes = jax.lax.dynamic_update_slice(planes, q[:, None], (z, write_pos, z, z))
+        new_scales = jax.lax.dynamic_update_slice(scales, scale[None], (write_pos, z, z))
+        return (new_planes, new_scales)
+    z = jnp.zeros((), write_pos.dtype)
+    return jax.lax.dynamic_update_slice(
+        fdl, spec[:, None].astype(fdl.dtype), (z, write_pos, z, z)
+    )
 
 
 def fdl_mac_split(fdl, filt_re: jnp.ndarray, filt_im: jnp.ndarray):

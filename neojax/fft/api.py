@@ -28,13 +28,13 @@ __all__ = [
     "irfft",
 ]
 
-_BACKEND = "xla"
+_BACKEND = "auto"
 _MATMUL_MAX_SIZE = 8192
 
 
 def set_backend(name: str) -> None:
     global _BACKEND
-    if name not in ("xla", "matmul"):
+    if name not in ("auto", "xla", "matmul"):
         raise ValueError(f"unknown fft backend: {name!r}")
     _BACKEND = name
 
@@ -45,6 +45,13 @@ def get_backend() -> str:
 
 def _resolve_backend(backend, n: int) -> str:
     b = backend or _BACKEND
+    if b == "auto":
+        # On TPU the MXU DFT-matmul is the native path (XLA's FFT op is not
+        # implemented on all TPU runtimes and loses to the MXU anyway at
+        # block-convolution sizes); on CPU, jnp.fft (pocketfft) wins.
+        import jax
+
+        b = "matmul" if jax.default_backend() == "tpu" else "xla"
     if b == "matmul" and n > _MATMUL_MAX_SIZE:
         return "xla"  # matrices would dominate memory; fall back
     return b

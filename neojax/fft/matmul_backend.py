@@ -87,11 +87,15 @@ def fft_matrices(n: int):
 
 
 def _matmul(x, m):
+    # Precision.HIGHEST: true f32 accumulation on the MXU (multi-pass bf16
+    # decomposition). The default TPU precision is a single bf16 pass, whose
+    # ~4e-3 relative error would blow the reference's 1e-5 parity bound.
     return lax.dot_general(
         x,
         m,
         dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
     )
 
 

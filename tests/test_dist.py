@@ -1,0 +1,87 @@
+"""Distribution tests on the simulated 8-device CPU mesh.
+
+The oracle (SURVEY.md section 4): the same workload run sharded must match
+the single-device run within the reference tolerance.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from neojax import conv, dist
+
+
+def np_full(x, h):
+    return np.convolve(np.asarray(x), np.asarray(h), mode="full")
+
+
+def test_mesh_construction():
+    m = dist.make_mesh()
+    assert m.shape["ch"] == 8 and m.shape["part"] == 1
+    m2 = dist.make_mesh(ch=4, part=2)
+    assert m2.shape["ch"] == 4 and m2.shape["part"] == 2
+
+
+def test_channel_sharded_matches_single_device(make_noise):
+    b = 128
+    channels = 8
+    ir = make_noise(4 * b)
+    sig = make_noise(channels, 6 * b)
+    parts = conv.uniform_partition(ir, b)
+
+    cfg = conv.PartitionedConfig(b, parts.shape[1], channels=channels)
+    params = conv.filter_params(cfg, parts)
+    state = conv.init_state(cfg)
+    _, ref = conv.process(cfg, params, state, sig)
+
+    mesh = dist.make_mesh(ch=8)
+    state2 = conv.init_state(cfg)
+    _, out = dist.sharded_process(cfg, params, state2, jnp.asarray(sig), mesh)
+    assert np.max(np.abs(np.asarray(out) - np.asarray(ref))) < 1e-6
+
+
+@pytest.mark.parametrize("part,ch", [(8, 1), (4, 2), (2, 4)])
+def test_partition_pipeline_matches_oracle(make_noise, part, ch):
+    b = 64
+    channels = 4
+    p = 16
+    ir = make_noise(p * b) * 0.2
+    sig = make_noise(channels, 8 * b)
+
+    parts = conv.uniform_partition(ir, b)  # [1, P, K]
+    mesh = dist.make_mesh(part=part, ch=ch)
+    cfg = conv.PartitionedConfig(b, p, channels=channels)
+
+    pipe = dist.PipelineConvolver(cfg, mesh)
+    filt = pipe.shard_filter(jnp.moveaxis(jnp.asarray(parts), 0, 1))
+    state = pipe.init_state()
+    _, out = pipe.process(filt, state, sig)
+    out = np.asarray(out)
+
+    for c in range(channels):
+        ref = np_full(sig[c], ir)[: out.shape[1]]
+        assert np.max(np.abs(out[c] - ref)) < 1e-4
+
+
+def test_pipeline_streaming_resume(make_noise):
+    """Pipeline state carries across process() calls (stream continuity)."""
+    b = 64
+    p = 8
+    ir = make_noise(p * b) * 0.2
+    sig = make_noise(2, 8 * b)
+
+    mesh = dist.make_mesh(part=4, ch=2)
+    cfg = conv.PartitionedConfig(b, p, channels=2)
+    pipe = dist.PipelineConvolver(cfg, mesh)
+    parts = conv.uniform_partition(ir, b)
+    filt = pipe.shard_filter(jnp.moveaxis(jnp.asarray(parts), 0, 1))
+
+    state = pipe.init_state()
+    _, full = pipe.process(filt, state, sig)
+
+    state = pipe.init_state()
+    state, first = pipe.process(filt, state, sig[:, : 4 * b])
+    _, second = pipe.process(filt, state, sig[:, 4 * b :])
+    resumed = np.concatenate([np.asarray(first), np.asarray(second)], axis=-1)
+    assert np.max(np.abs(resumed - np.asarray(full))) < 1e-6
