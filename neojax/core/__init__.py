@@ -1,5 +1,6 @@
 """neojax.core — bit/sizing helpers, windows, units, split-complex layout."""
 
+from neojax.core import fixed_point
 from neojax.core.bits import bit_ceil, bit_log2, idiv, is_pow2, next_order
 from neojax.core.complexes import (
     from_split,
@@ -26,6 +27,7 @@ from neojax.core.windows import (
 )
 
 __all__ = [
+    "fixed_point",
     "bit_ceil",
     "bit_log2",
     "idiv",

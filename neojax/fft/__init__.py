@@ -7,6 +7,7 @@ Backends (the vendor-vs-fallback axis of the reference, ``fft/fft.hpp:39-51``):
 from neojax.fft.api import fft, ifft, irfft, rfft, set_backend, get_backend
 from neojax.fft.bluestein import dft, naive_dft
 from neojax.fft.dct import dct2
+from neojax.fft.extras import rfft_deinterleave, split_fft, split_ifft
 from neojax.fft.stft import StftOptions, num_stft_frames, stft
 from neojax.core.units import rfftfreq
 from neojax.core.bits import next_order
@@ -21,6 +22,9 @@ __all__ = [
     "dft",
     "naive_dft",
     "dct2",
+    "rfft_deinterleave",
+    "split_fft",
+    "split_ifft",
     "stft",
     "StftOptions",
     "num_stft_frames",

@@ -1,1 +1,18 @@
-"""neojax.io — WAV file I/O."""
+"""neojax.io — WAV file I/O and streaming-state checkpointing."""
+
+from neojax.io.checkpoint import (
+    load_state,
+    load_state_orbax,
+    save_state,
+    save_state_orbax,
+)
+from neojax.io.wav import read_wav, write_wav
+
+__all__ = [
+    "read_wav",
+    "write_wav",
+    "save_state",
+    "load_state",
+    "save_state_orbax",
+    "load_state_orbax",
+]
