@@ -22,31 +22,34 @@ The ppermute (one [C_local, K] spectrum) overlaps with the irfft; sizing:
 hand-off bytes per block are 1/(P/D) of the local MAC traffic, so scaling
 stays near-linear for deep FDLs.
 
-Only the dense (complex64) storage is pipelined for now.
+Storage: "dense" (complex64 — CPU meshes), or the TPU-native split planes
+("split" f32 / "bf16"), where spectra stay as separate re/im arrays and
+the rfft/irfft run on the MXU matmul backend.
 """
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from neojax.conv.convolver import PartitionedConfig
 from neojax.conv.overlap import stream_blocks, unstream_blocks
 from neojax.fft import api as fft_api
+from neojax.fft import matmul_backend
 
 __all__ = ["PipelineConvolver"]
 
 
 class PipelineConvolver:
-    """Partition+channel sharded streaming convolver (dense storage)."""
+    """Partition+channel sharded streaming convolver (UPOLS schedule)."""
 
     def __init__(self, config: PartitionedConfig, mesh: Mesh):
-        if config.storage != "dense":
-            raise NotImplementedError("pipeline convolver supports dense storage")
+        if config.storage not in ("dense", "split", "bf16"):
+            raise NotImplementedError(
+                "pipeline convolver supports dense/split/bf16 storage"
+            )
         self.config = config
         self.mesh = mesh
         self.d_part = mesh.shape["part"]
@@ -60,20 +63,26 @@ class PipelineConvolver:
             raise ValueError(
                 f"channels {config.channels} not divisible by mesh ch={self.d_ch}"
             )
+        self._split = config.storage != "dense"
         self._process = jax.jit(self._build_process())
 
     # -- state ------------------------------------------------------------
 
     def init_state(self) -> dict:
         cfg = self.config
+        shape = (cfg.num_partitions, cfg.channels, cfg.num_bins)
+        inc_shape = (self.d_part, cfg.channels, cfg.num_bins)
+        if self._split:
+            dtype = jnp.bfloat16 if cfg.storage == "bf16" else jnp.float32
+            fdl = jnp.zeros((2,) + shape, dtype)
+            incoming = jnp.zeros((2,) + inc_shape, dtype)
+        else:
+            fdl = jnp.zeros(shape, jnp.complex64)
+            incoming = jnp.zeros(inc_shape, jnp.complex64)
         return {
             "tail": jnp.zeros((cfg.channels, cfg.block_size), jnp.float32),
-            "fdl": jnp.zeros(
-                (cfg.num_partitions, cfg.channels, cfg.num_bins), jnp.complex64
-            ),
-            "incoming": jnp.zeros(
-                (self.d_part, cfg.channels, cfg.num_bins), jnp.complex64
-            ),
+            "fdl": fdl,
+            "incoming": incoming,
         }
 
     # -- the sharded step -------------------------------------------------
@@ -83,51 +92,69 @@ class PipelineConvolver:
         mesh = self.mesh
         b = cfg.block_size
         n = cfg.transform_size
+        split = self._split
+
+        ring_perm = None  # built inside with axis size
 
         def local_process(filt, tail, fdl, incoming, blocks):
-            # Shapes inside the shard: filt/fdl [P/D, C/Dc, K],
-            # tail [C/Dc, B], incoming [1, C/Dc, K], blocks [T, C/Dc, B].
             part_idx = jax.lax.axis_index("part")
+            nparts = jax.lax.axis_size("part")
+            perm = [(i, (i + 1) % nparts) for i in range(nparts)]
 
             def step(carry, block):
                 tail, fdl, inc = carry
                 frame = jnp.concatenate([tail, block], axis=-1)
-                spec = fft_api.rfft(frame, n=n)
-                mine = jnp.where(part_idx == 0, spec, inc[0])
-                fdl_new = jnp.concatenate([mine[None], fdl[:-1]], axis=0)
-                partial_acc = jnp.sum(fdl_new * filt, axis=0)
-                acc = jax.lax.psum(partial_acc, "part")
-                handoff = jax.lax.ppermute(
-                    fdl_new[-1],
-                    "part",
-                    [(i, (i + 1) % jax.lax.axis_size("part"))
-                     for i in range(jax.lax.axis_size("part"))],
-                )
-                y = fft_api.irfft(acc, n=n)
-                out = y[..., b:]
-                return (block, fdl_new, handoff[None]), out
 
-            (tail, fdl, incoming), outs = jax.lax.scan(
-                step, (tail, fdl, incoming[0][None]), blocks
+                if split:
+                    sr, si = matmul_backend.rfft_split(frame, n)
+                    spec = jnp.stack([sr, si]).astype(fdl.dtype)  # [2, C, K]
+                    mine = jnp.where(part_idx == 0, spec, inc[:, 0])
+                    fdl_new = jnp.concatenate([mine[:, None], fdl[:, :-1]], axis=1)
+                    fr, fi = filt[0], filt[1]  # [P/D, C, K] f32
+                    x = fdl_new.astype(jnp.float32)
+                    acc_re = jnp.sum(x[0] * fr - x[1] * fi, axis=0)
+                    acc_im = jnp.sum(x[0] * fi + x[1] * fr, axis=0)
+                    acc_re = jax.lax.psum(acc_re, "part")
+                    acc_im = jax.lax.psum(acc_im, "part")
+                    handoff = jax.lax.ppermute(fdl_new[:, -1], "part", perm)
+                    y = matmul_backend.irfft_split(acc_re, acc_im, n)
+                    inc_next = handoff[:, None]
+                else:
+                    spec = fft_api.rfft(frame, n=n)
+                    mine = jnp.where(part_idx == 0, spec, inc[0])
+                    fdl_new = jnp.concatenate([mine[None], fdl[:-1]], axis=0)
+                    partial_acc = jnp.sum(fdl_new * filt, axis=0)
+                    acc = jax.lax.psum(partial_acc, "part")
+                    handoff = jax.lax.ppermute(fdl_new[-1], "part", perm)
+                    y = fft_api.irfft(acc, n=n)
+                    inc_next = handoff[None]
+
+                out = y[..., b:]
+                return (block, fdl_new, inc_next), out
+
+            if split:
+                inc0 = incoming[:, 0][:, None]
+            else:
+                inc0 = incoming[0][None]
+            (tail, fdl, incoming_out), outs = jax.lax.scan(
+                step, (tail, fdl, inc0), blocks
             )
-            return tail, fdl, incoming, outs
+            return tail, fdl, incoming_out, outs
+
+        if split:
+            fdl_spec = P(None, "part", "ch", None)
+            inc_spec = P(None, "part", "ch", None)
+            filt_spec = P(None, "part", "ch", None)
+        else:
+            fdl_spec = P("part", "ch", None)
+            inc_spec = P("part", "ch", None)
+            filt_spec = P("part", "ch", None)
 
         sharded = shard_map(
             local_process,
             mesh=mesh,
-            in_specs=(
-                P("part", "ch", None),   # filt
-                P("ch", None),           # tail (replicated over part)
-                P("part", "ch", None),   # fdl
-                P("part", "ch", None),   # incoming (one slot per part-shard)
-                P(None, "ch", None),     # blocks [T, C, B]
-            ),
-            out_specs=(
-                P("ch", None),
-                P("part", "ch", None),
-                P("part", "ch", None),
-                P(None, "ch", None),
-            ),
+            in_specs=(filt_spec, P("ch", None), fdl_spec, inc_spec, P(None, "ch", None)),
+            out_specs=(P("ch", None), fdl_spec, inc_spec, P(None, "ch", None)),
             check_vma=False,
         )
 
@@ -143,15 +170,28 @@ class PipelineConvolver:
 
     # -- public -----------------------------------------------------------
 
-    def shard_filter(self, filt: jnp.ndarray) -> jnp.ndarray:
-        """Filter [P, C|1, K] complex -> device_put with partition sharding.
-        Shared filters broadcast to the channel count first."""
+    def shard_filter(self, filt) -> jnp.ndarray:
+        """Filter [P, C|1, K] complex (host array) -> sharded device layout.
+
+        Dense: complex64 [P, C, K]. Split/bf16: f32 planes [2, P, C, K].
+        Shared filters broadcast to the channel count first.
+        """
+        import numpy as np
+
         cfg = self.config
-        filt = jnp.asarray(filt, jnp.complex64)
+        filt = np.asarray(filt, np.complex64)
         if filt.shape[1] == 1 and cfg.channels > 1:
-            filt = jnp.broadcast_to(filt, (cfg.num_partitions, cfg.channels, cfg.num_bins))
+            filt = np.broadcast_to(
+                filt, (cfg.num_partitions, cfg.channels, cfg.num_bins)
+            )
+        if self._split:
+            planes = np.stack([filt.real, filt.imag]).astype(np.float32)
+            return jax.device_put(
+                jnp.asarray(planes),
+                NamedSharding(self.mesh, P(None, "part", "ch", None)),
+            )
         return jax.device_put(
-            filt, NamedSharding(self.mesh, P("part", "ch", None))
+            jnp.asarray(filt), NamedSharding(self.mesh, P("part", "ch", None))
         )
 
     def process(self, filt, state, signal):

@@ -1,0 +1,56 @@
+"""Split-storage (TPU-native, complex-free) pipeline on the CPU mesh."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from neojax import conv, dist
+
+
+@pytest.mark.parametrize("storage", ["split", "bf16"])
+@pytest.mark.parametrize("part,ch", [(4, 2), (2, 4)])
+def test_split_pipeline_matches_oracle(make_noise, storage, part, ch):
+    b = 64
+    channels = 4
+    p = 16
+    ir = make_noise(p * b) * 0.2
+    sig = make_noise(channels, 8 * b)
+
+    parts = conv.uniform_partition(ir, b)  # [1, P, K]
+    mesh = dist.make_mesh(part=part, ch=ch)
+    cfg = conv.PartitionedConfig(b, p, channels=channels, storage=storage,
+                                 fft_backend="matmul")
+
+    pipe = dist.PipelineConvolver(cfg, mesh)
+    filt = pipe.shard_filter(np.moveaxis(np.asarray(parts), 0, 1))
+    state = pipe.init_state()
+    _, out = pipe.process(filt, state, sig)
+    out = np.asarray(out)
+
+    tol = 1e-2 if storage == "bf16" else 1e-4  # bf16: 2^-8 rel on ~O(10) spectra
+    for c in range(channels):
+        ref = np.convolve(np.asarray(sig)[c], ir)[: out.shape[1]]
+        assert np.max(np.abs(out[c] - ref)) < tol
+
+
+def test_split_pipeline_resume(make_noise):
+    b = 64
+    p = 8
+    ir = make_noise(p * b) * 0.2
+    sig = make_noise(2, 8 * b)
+
+    mesh = dist.make_mesh(part=4, ch=2)
+    cfg = conv.PartitionedConfig(b, p, channels=2, storage="split",
+                                 fft_backend="matmul")
+    pipe = dist.PipelineConvolver(cfg, mesh)
+    parts = conv.uniform_partition(ir, b)
+    filt = pipe.shard_filter(np.moveaxis(np.asarray(parts), 0, 1))
+
+    state = pipe.init_state()
+    _, full = pipe.process(filt, state, sig)
+
+    state = pipe.init_state()
+    state, first = pipe.process(filt, state, sig[:, : 4 * b])
+    _, second = pipe.process(filt, state, sig[:, 4 * b :])
+    resumed = np.concatenate([np.asarray(first), np.asarray(second)], axis=-1)
+    assert np.max(np.abs(resumed - np.asarray(full))) < 1e-6
