@@ -44,8 +44,10 @@ __all__ = [
 
 
 def convolve(in1, in2, mode: str = "full", method: str = "auto"):
-    """Convolve two 1-D arrays (reference ``neo.convolve`` semantics:
-    only mode='full' is supported; method 'fft' or direct)."""
+    """Convolve two 1-D arrays (reference ``neo.convolve`` semantics: only
+    mode='full'). Methods mirror the reference's enum (``method.hpp:8-17``):
+    'auto'/'direct', 'fft', and the streaming engines 'ols', 'ola',
+    'upols', 'upola'."""
     if mode != "full":
         raise ValueError("unsupported convolution mode")
     in1 = jnp.asarray(in1)
@@ -54,4 +56,8 @@ def convolve(in1, in2, mode: str = "full", method: str = "auto"):
         raise ValueError("unsupported dimension: in1 and in2 must be 1-D")
     if method == "fft":
         return conv.fft_convolve(in1, in2)
+    if method in ("ols", "ola", "upols", "upola"):
+        from neojax.conv.streaming import streaming_convolve
+
+        return streaming_convolve(in1, in2, method)
     return conv.direct_convolve(in1, in2)

@@ -71,10 +71,12 @@ def chunked_filter_params(
     dtype = jnp.bfloat16 if config.storage == "bf16" else jnp.float32
     t_re = _toeplitz(np.real(plane).astype(np.float32), chunk_blocks)
     t_im = _toeplitz(np.imag(plane).astype(np.float32), chunk_blocks)
-    return {
-        "toep_re": jnp.asarray(t_re, dtype),
-        "toep_im": jnp.asarray(t_im, dtype),
-    }
+    # Fold the complex structure into ONE real batched matmul per bin:
+    #   [[Tr, -Ti], [Ti, Tr]] ([K, 2S, 2M]) @ [[Hr], [Hi]] ([K, 2M, C]).
+    top = np.concatenate([t_re, -t_im], axis=2)
+    bot = np.concatenate([t_im, t_re], axis=2)
+    tcat = np.concatenate([top, bot], axis=1)  # [K, 2S, 2M]
+    return {"tcat": jnp.asarray(tcat, dtype)}
 
 
 def chunked_init_state(config: PartitionedConfig) -> dict:
@@ -148,18 +150,18 @@ def process_chunked(
         hist_re = jnp.concatenate([hist[0], new_re], axis=1)  # [K, P-1+S, C]
         hist_im = jnp.concatenate([hist[1], new_im], axis=1)
 
-        def bmm(t, h):
-            return lax.dot_general(
-                t,
-                h,
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-                precision=prec,
-            )  # [K, S, C]
-
-        tr, ti = params["toep_re"], params["toep_im"]
-        acc_re = bmm(tr, hist_re) - bmm(ti, hist_im)
-        acc_im = bmm(tr, hist_im) + bmm(ti, hist_re)
+        # One real batched matmul per bin with the complex structure folded
+        # in ([K, 2S, 2M] @ [K, 2M, C]): rows 0..S-1 = re, S..2S-1 = im.
+        hcat = jnp.concatenate([hist_re, hist_im], axis=1)  # [K, 2M, C]
+        out_cat = lax.dot_general(
+            params["tcat"],
+            hcat,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )  # [K, 2S, C]
+        acc_re = out_cat[:, :s]
+        acc_im = out_cat[:, s:]
 
         # back to [S, C, K] for the inverse transform
         acc_re = jnp.transpose(acc_re, (1, 2, 0))

@@ -48,12 +48,17 @@ def _resolve_backend(backend, n: int) -> str:
     if b == "auto":
         # On TPU the MXU DFT-matmul is the native path (XLA's FFT op is not
         # implemented on all TPU runtimes and loses to the MXU anyway at
-        # block-convolution sizes); on CPU, jnp.fft (pocketfft) wins.
+        # block-convolution sizes); large sizes use the 4-step (Bailey)
+        # matmul decomposition. On CPU, jnp.fft (pocketfft) wins.
         import jax
 
-        b = "matmul" if jax.default_backend() == "tpu" else "xla"
+        if jax.default_backend() != "tpu":
+            return "xla"
+        b = "matmul"
     if b == "matmul" and n > _MATMUL_MAX_SIZE:
-        return "xla"  # matrices would dominate memory; fall back
+        from neojax.core.bits import is_pow2
+
+        return "fourstep" if is_pow2(n) else "xla"
     return b
 
 
@@ -73,10 +78,15 @@ def fft(x, n: int | None = None, axis: int = -1, norm: str = "backward", backend
     n = int(n if n is not None else x.shape[axis])
     x = _pad_or_trim(x, n, axis)
     b = _resolve_backend(backend, n)
-    if b == "matmul" and axis in (-1, x.ndim - 1):
+    if b in ("matmul", "fourstep") and axis in (-1, x.ndim - 1):
         xr = jnp.real(x).astype(jnp.float32)
         xi = jnp.imag(x).astype(jnp.float32) if jnp.iscomplexobj(x) else jnp.zeros_like(xr)
-        re, im = matmul_backend.fft_split(xr, xi, n)
+        if b == "fourstep":
+            from neojax.fft.four_step import fft_split_large
+
+            re, im = fft_split_large(xr, xi, n)
+        else:
+            re, im = matmul_backend.fft_split(xr, xi, n)
         out = jax_complex(re, im)
     else:
         out = jnp.fft.fft(x, axis=axis)
@@ -88,10 +98,15 @@ def ifft(x, n: int | None = None, axis: int = -1, norm: str = "backward", backen
     n = int(n if n is not None else x.shape[axis])
     x = _pad_or_trim(x, n, axis)
     b = _resolve_backend(backend, n)
-    if b == "matmul" and axis in (-1, x.ndim - 1):
+    if b in ("matmul", "fourstep") and axis in (-1, x.ndim - 1):
         xr = jnp.real(x).astype(jnp.float32)
         xi = jnp.imag(x).astype(jnp.float32) if jnp.iscomplexobj(x) else jnp.zeros_like(xr)
-        re, im = matmul_backend.fft_split(xr, xi, n, inverse=True)
+        if b == "fourstep":
+            from neojax.fft.four_step import fft_split_large
+
+            re, im = fft_split_large(xr, xi, n, inverse=True)
+        else:
+            re, im = matmul_backend.fft_split(xr, xi, n, inverse=True)
         out = jax_complex(re / n, im / n)
     else:
         out = jnp.fft.ifft(x, axis=axis)
@@ -103,7 +118,12 @@ def rfft(x, n: int | None = None, axis: int = -1, norm: str = "backward", backen
     n = int(n if n is not None else x.shape[axis])
     x = _pad_or_trim(x, n, axis)
     b = _resolve_backend(backend, n)
-    if b == "matmul" and axis in (-1, x.ndim - 1) and n % 2 == 0:
+    if b == "fourstep" and axis in (-1, x.ndim - 1):
+        from neojax.fft.four_step import rfft_split_large
+
+        re, im = rfft_split_large(x.astype(jnp.float32), n)
+        out = jax_complex(re, im)
+    elif b == "matmul" and axis in (-1, x.ndim - 1) and n % 2 == 0:
         out = matmul_backend.rfft(x.astype(jnp.float32), n)
     else:
         out = jnp.fft.rfft(x, axis=axis)
@@ -116,7 +136,11 @@ def irfft(x, n: int | None = None, axis: int = -1, norm: str = "backward", backe
     bins = n // 2 + 1
     x = _pad_or_trim(x, bins, axis)
     b = _resolve_backend(backend, n)
-    if b == "matmul" and axis in (-1, x.ndim - 1) and n % 2 == 0:
+    if b == "fourstep" and axis in (-1, x.ndim - 1):
+        from neojax.fft.four_step import irfft_split_large
+
+        out = irfft_split_large(jnp.real(x), jnp.imag(x), n)
+    elif b == "matmul" and axis in (-1, x.ndim - 1) and n % 2 == 0:
         out = matmul_backend.irfft(x, n)
     else:
         out = jnp.fft.irfft(x, n=n, axis=axis)

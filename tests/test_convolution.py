@@ -264,3 +264,15 @@ def test_perceptual_mask_density_decreases_with_threshold(make_noise):
     m_hi = np.asarray(conv.perceptual_mask(parts, 48000.0, threshold_db=-20.0))
     assert m_lo.mean() > m_hi.mean()
     assert 0.0 < m_hi.mean() < 1.0
+
+
+@pytest.mark.parametrize("method", ["ols", "ola", "upols", "upola"])
+def test_convolve_streaming_methods(make_noise, method):
+    """Every method of the reference's enum produces the same full
+    convolution (cross-engine oracle, like the reference's plan tests)."""
+    x = make_noise(700)
+    h = make_noise(160) * 0.3
+    ref = np_full_convolve(x, h)
+    out = np.asarray(neojax.convolve(x, h, method=method))
+    assert out.shape == ref.shape
+    assert np.max(np.abs(out - ref)) < 1e-4
