@@ -8,7 +8,10 @@ Prints ONE JSON line to stdout:
      numbers (BASELINE.md), so its own CLI headline metric — real-time
      factor, ``extra/cli/src/convolver.cpp:108-113`` — is the baseline axis.
 
-Variant breakdown goes to stderr.
+Engines benchmarked (details to stderr):
+  - chunked:  Toeplitz-MXU multi-block mode (32 blocks/step; same
+    UPOLS math, S-block latency) — the throughput path
+  - perblock: single-block streaming step (real-time path)
 """
 
 from __future__ import annotations
@@ -31,96 +34,115 @@ def _setup_jax():
     return jax
 
 
-def bench_variant(scheme, storage, mac_backend, seconds=5.0, repeats=2):
-    jax = _setup_jax()
+SR = 48000
+BLOCK = 512
+CHANNELS = 64
+P_REAL = int(np.ceil(10.0 * SR / BLOCK))  # 938 partitions (10 s IR)
+
+
+def _make_parts(p, bins):
+    rng = np.random.default_rng(0)
+    return (
+        (rng.standard_normal((1, p, bins)) + 1j * rng.standard_normal((1, p, bins)))
+        * (0.05 * np.exp(-np.arange(p) / (p / 4))[None, :, None])
+    ).astype(np.complex64)
+
+
+def _signal(num_blocks):
+    rng = np.random.default_rng(1)
+    return rng.uniform(-1, 1, (CHANNELS, num_blocks * BLOCK)).astype(np.float32)
+
+
+def _time(proc, params, state, sig, repeats=2):
+    import jax
     import jax.numpy as jnp
 
-    from neojax.conv import convolver as cv
-
-    sr = 48000
-    block = 512
-    channels = 64
-    ir_seconds = 10.0
-    # ceil(10s*48k/512) = 938 partitions, padded to a multiple of 32 (zero
-    # filter partitions) so the Pallas MAC always gets full chunks.
-    p_real = int(np.ceil(ir_seconds * sr / block))
-    p = -(-p_real // 32) * 32
-
-    cfg = cv.PartitionedConfig(
-        block_size=block,
-        num_partitions=p,
-        channels=channels,
-        scheme=scheme,
-        storage=storage,
-        mac_backend=mac_backend,
-    )
-
-    rng = np.random.default_rng(0)
-    # Shared IR: [1, P, K] spectra (decaying reverb-like magnitudes).
-    parts = (
-        (rng.standard_normal((1, p_real, cfg.num_bins)) + 1j * rng.standard_normal((1, p_real, cfg.num_bins)))
-        * (0.05 * np.exp(-np.arange(p_real) / (p_real / 4))[None, :, None])
-    ).astype(np.complex64)
-    parts = np.concatenate(
-        [parts, np.zeros((1, p - p_real, cfg.num_bins), np.complex64)], axis=1
-    )
-
-    params = cv.filter_params(cfg, parts)
-    state = cv.init_state(cfg)
-
-    num_blocks = int(seconds * sr) // block
-    sig = jnp.asarray(
-        rng.uniform(-1, 1, (channels, num_blocks * block)), jnp.float32
-    )
-
-    proc = jax.jit(partial(cv.process, cfg), donate_argnums=(1,))
-
-    # Warmup / compile. Synchronize via a device-side reduction fetched to
-    # host — block_until_ready alone does not reliably synchronize on all
-    # TPU runtimes.
     st, out = proc(params, state, sig)
-    float(jnp.sum(jnp.abs(out)))
-
+    float(jnp.sum(jnp.abs(out)))  # host fetch = reliable sync
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         st, out = proc(params, st, sig)
         float(jnp.sum(jnp.abs(out)))
         times.append(time.perf_counter() - t0)
+    return min(times)
 
-    dt = min(times)
-    total_samples = channels * num_blocks * block
-    return total_samples / dt, dt, num_blocks
+
+def bench_chunked(storage="bf16", s=32):
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from neojax.conv import chunked
+    from neojax.conv import convolver as cv
+
+    cfg = cv.PartitionedConfig(BLOCK, P_REAL, CHANNELS, storage=storage)
+    parts = _make_parts(P_REAL, cfg.num_bins)
+    params = chunked.chunked_filter_params(cfg, parts, s)
+    state = chunked.chunked_init_state(cfg)
+    nb = P_REAL - (P_REAL % s)  # ~10 s of audio
+    sig = jnp.asarray(_signal(nb))
+    proc = jax.jit(
+        partial(chunked.process_chunked, cfg, chunk_blocks=s), donate_argnums=(1,)
+    )
+    dt = _time(proc, params, state, sig)
+    return CHANNELS * nb * BLOCK / dt, dt, nb
+
+
+def bench_perblock(storage, mac):
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from neojax.conv import convolver as cv
+
+    p = -(-P_REAL // 32) * 32  # padded for full Pallas chunks
+    cfg = cv.PartitionedConfig(
+        BLOCK, p, CHANNELS, storage=storage, mac_backend=mac
+    )
+    parts = _make_parts(P_REAL, cfg.num_bins)
+    parts = np.concatenate(
+        [parts, np.zeros((1, p - P_REAL, cfg.num_bins), np.complex64)], axis=1
+    )
+    params = cv.filter_params(cfg, parts)
+    state = cv.init_state(cfg)
+    nb = 469  # ~5 s
+    sig = jnp.asarray(_signal(nb))
+    proc = jax.jit(partial(cv.process, cfg), donate_argnums=(1,))
+    dt = _time(proc, params, state, sig)
+    return CHANNELS * nb * BLOCK / dt, dt, nb
 
 
 def main():
     jax = _setup_jax()
-
-    dev = jax.devices()[0]
     on_tpu = jax.default_backend() == "tpu"
-    print(f"# device: {dev}", file=sys.stderr)
+    print(f"# device: {jax.devices()[0]}", file=sys.stderr)
 
-    variants = (
-        [("upols", "bf16", "pallas"), ("upols", "split", "pallas")]
-        if on_tpu
-        else [("upols", "dense", "xla"), ("upols", "split", "xla")]
-    )
     results = {}
-    for scheme, storage, mac in variants:
+
+    def record(name, fn):
         try:
-            sps, dt, nb = bench_variant(scheme, storage, mac)
-            results[f"{scheme}/{storage}/{mac}"] = sps
+            sps, dt, nb = fn()
+            results[name] = sps
             print(
-                f"# {scheme}/{storage}/{mac}: "
-                f"{sps/1e6:.1f} M samples/s ({dt*1e3:.1f} ms for {nb} blocks)",
+                f"# {name}: {sps/1e6:.1f} M samples/s "
+                f"({dt/nb*1e6:.1f} us/block over {nb} blocks)",
                 file=sys.stderr,
             )
-        except Exception as e:  # keep the bench robust across platforms
-            print(f"# {scheme}/{storage}/{mac} FAILED: {e}", file=sys.stderr)
+        except Exception as e:
+            print(f"# {name} FAILED: {type(e).__name__}: {e}", file=sys.stderr)
+
+    if on_tpu:
+        record("chunked/bf16/S32", partial(bench_chunked, "bf16", 32))
+        record("perblock/bf16/pallas", partial(bench_perblock, "bf16", "pallas"))
+    else:
+        record("perblock/dense/xla", partial(bench_perblock, "dense", "xla"))
+
+    if not results:
+        print(json.dumps({"metric": "error", "value": 0, "unit": "samples/s",
+                          "vs_baseline": 0}))
+        return
 
     best_key = max(results, key=results.get)
     best = results[best_key]
-    realtime_factor = best / (64 * 48000)
     print(f"# best: {best_key}", file=sys.stderr)
     print(
         json.dumps(
@@ -128,7 +150,7 @@ def main():
                 "metric": "partitioned_conv_64ch_10s_ir_block512_samples_per_sec_per_chip",
                 "value": round(best, 1),
                 "unit": "samples/s",
-                "vs_baseline": round(realtime_factor, 3),
+                "vs_baseline": round(best / (CHANNELS * SR), 3),
             }
         )
     )
