@@ -78,7 +78,7 @@ def bench_chunked(storage="bf16", s=32):
     cfg = cv.PartitionedConfig(BLOCK, P_REAL, CHANNELS, storage=storage)
     parts = _make_parts(P_REAL, cfg.num_bins)
     params = chunked.chunked_filter_params(cfg, parts, s)
-    state = chunked.chunked_init_state(cfg)
+    state = chunked.chunked_init_state(cfg, params)
     nb = P_REAL - (P_REAL % s)  # ~10 s of audio
     sig = jnp.asarray(_signal(nb))
     proc = jax.jit(
