@@ -226,11 +226,11 @@ def process_chunked(
             )  # [Kb, 2S, C]
             acc_re = acc_re.at[bins].set(out_cat[:, :s])
             acc_im = acc_im.at[bins].set(out_cat[:, s:])
-            keep = bucket["band"] - 1
+            # keep = band - 1, derived from the carry's static shape so it
+            # stays a Python int under jit ("band" in params would trace).
+            keep = hist.shape[2]
             new_hists.append(
                 jnp.stack([hr[:, hr.shape[1] - keep :], hi[:, hi.shape[1] - keep :]])
-                if keep > 0
-                else jnp.stack([hr[:, :0], hi[:, :0]])
             )
 
         # back to [S, C, K] for the inverse transform

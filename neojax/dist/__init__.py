@@ -2,7 +2,9 @@
 
 from neojax.dist.mesh import channel_sharding, make_mesh
 from neojax.dist.pipeline import PipelineConvolver
+from neojax.dist.multihost import StreamDriver, init_distributed
 from neojax.dist.sharded import shard_params, shard_state, sharded_process
+from neojax.dist.sharded_chunked import shard_chunked_state, sharded_process_chunked
 
 __all__ = [
     "make_mesh",
@@ -11,4 +13,8 @@ __all__ = [
     "shard_params",
     "shard_state",
     "sharded_process",
+    "sharded_process_chunked",
+    "shard_chunked_state",
+    "StreamDriver",
+    "init_distributed",
 ]

@@ -54,3 +54,26 @@ def test_split_pipeline_resume(make_noise):
     _, second = pipe.process(filt, state, sig[:, 4 * b :])
     resumed = np.concatenate([np.asarray(first), np.asarray(second)], axis=-1)
     assert np.max(np.abs(resumed - np.asarray(full))) < 1e-6
+
+
+def test_sharded_chunked_matches_single_device(make_noise):
+    import jax.numpy as jnp
+    from neojax.conv import chunked
+    from neojax.dist.sharded_chunked import sharded_process_chunked
+
+    b = 64
+    p = 16
+    channels = 8
+    ir = make_noise(p * b) * 0.2
+    sig = make_noise(channels, 8 * b)
+    parts = conv.uniform_partition(ir, b)
+
+    cfg = conv.PartitionedConfig(b, p, channels=channels, storage="split")
+    cparams = chunked.chunked_filter_params(cfg, parts, 4)
+    cstate = chunked.chunked_init_state(cfg, cparams)
+    _, ref = chunked.process_chunked(cfg, cparams, cstate, jnp.asarray(sig), 4)
+
+    mesh = dist.make_mesh(ch=8)
+    cstate2 = chunked.chunked_init_state(cfg, cparams)
+    _, out = sharded_process_chunked(cfg, cparams, cstate2, sig, mesh, 4)
+    assert np.max(np.abs(np.asarray(out) - np.asarray(ref))) < 1e-6
