@@ -25,7 +25,11 @@ def main(argv=None) -> int:
     ap.add_argument("impulse")
     ap.add_argument("output")
     ap.add_argument("--block", type=int, default=4096)
-    ap.add_argument("--engine", default="upols", choices=["upols", "upola"])
+    ap.add_argument(
+        "--engine", default="upols", choices=["upols", "upola", "chunked"],
+        help="chunked = Toeplitz-MXU throughput mode (offline; S-block latency)",
+    )
+    ap.add_argument("--chunk-blocks", type=int, default=32)
     ap.add_argument(
         "--storage",
         default=None,
@@ -71,11 +75,30 @@ def main(argv=None) -> int:
         density = float(np.mean(sparsity))
         print(f"perceptual mask: {density * 100:.1f}% bins kept")
 
-    c = conv.make_convolver(args.engine, args.storage)
-    c.filter(parts, sparsity=sparsity)
-
     t0 = time.perf_counter()
-    out = np.asarray(c.process(sig))
+    if args.engine == "chunked":
+        import jax
+        from neojax.conv import chunked
+        from neojax.conv.convolver import PartitionedConfig
+
+        storage = args.storage or (
+            "dense" if jax.default_backend() == "cpu" else "bf16"
+        )
+        if storage == "dense":
+            storage = "split"  # chunked mode is split-native
+        cfg = PartitionedConfig(
+            args.block, parts.shape[1], channels=sig.shape[0], storage=storage
+        )
+        cparams = chunked.chunked_filter_params(
+            cfg, parts, args.chunk_blocks, mask=sparsity
+        )
+        cstate = chunked.chunked_init_state(cfg, cparams)
+        _, out = chunked.process_chunked(cfg, cparams, cstate, sig, args.chunk_blocks)
+        out = np.asarray(out)
+    else:
+        c = conv.make_convolver(args.engine, args.storage)
+        c.filter(parts, sparsity=sparsity)
+        out = np.asarray(c.process(sig))
     dt = time.perf_counter() - t0
 
     out_seconds = sig.shape[1] / sr

@@ -276,3 +276,42 @@ def test_convolve_streaming_methods(make_noise, method):
     out = np.asarray(neojax.convolve(x, h, method=method))
     assert out.shape == ref.shape
     assert np.max(np.abs(out - ref)) < 1e-4
+
+
+def test_ring_schedule_matches_fdl_index_semantics(make_noise):
+    """Our rotated-filter ring reproduces the reference fdl_index schedule
+    exactly: fdl slot `segment` multiplies filter partition
+    ``(write_pos + P - segment) % P`` (``fdl_index.hpp:24-36``, asserted
+    index-by-index like ``fdl_index_test.cpp``)."""
+    import jax.numpy as jnp
+    from neojax.conv import fdl as fdl_lib
+
+    p, k = 7, 5
+    filt = np.arange(p * k, dtype=np.float32).reshape(p, 1, k) + 1.0
+    tiled = np.asarray(fdl_lib.tile_reverse_filter(jnp.asarray(filt)))
+
+    for write_pos in range(p):
+        rotated = np.asarray(
+            fdl_lib.rotated_filter(
+                jnp.asarray(tiled), jnp.asarray(write_pos, jnp.int32), p
+            )
+        )
+        for segment in range(p):
+            expected = filt[(write_pos + p - segment) % p]
+            assert np.array_equal(rotated[segment], expected), (write_pos, segment)
+
+
+def test_upola_equals_upols_output(make_noise):
+    """The two schemes are alternative schedulings of the same convolution
+    (cross-implementation oracle)."""
+    b = 128
+    ir = make_noise(3 * b) * 0.3
+    sig = make_noise(2, 6 * b)
+    parts = conv.uniform_partition(ir, b)
+
+    outs = {}
+    for scheme in ("upols", "upola"):
+        c = conv.make_convolver(scheme)
+        c.filter(parts)
+        outs[scheme] = np.asarray(c.process(sig))
+    assert np.max(np.abs(outs["upols"] - outs["upola"])) < 2e-5
