@@ -131,7 +131,7 @@ def main():
             print(f"# {name} FAILED: {type(e).__name__}: {e}", file=sys.stderr)
 
     if on_tpu:
-        record("chunked/bf16/S32", partial(bench_chunked, "bf16", 32))
+        record("chunked/bf16/S128", partial(bench_chunked, "bf16", 128))
         record("perblock/bf16/pallas", partial(bench_perblock, "bf16", "pallas"))
     else:
         record("perblock/dense/xla", partial(bench_perblock, "dense", "xla"))

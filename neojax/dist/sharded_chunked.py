@@ -28,7 +28,7 @@ def _named(mesh, *spec):
 
 def shard_chunked_state(state: dict, mesh: Mesh) -> dict:
     hists = tuple(
-        jax.device_put(h, _named(mesh, None, None, None, "ch")) for h in state["hists"]
+        jax.device_put(h, _named(mesh, None, None, "ch")) for h in state["hists"]
     )
     return {
         "tail": jax.device_put(state["tail"], _named(mesh, "ch", None)),

@@ -86,31 +86,38 @@ def fft_matrices(n: int):
     return jnp.asarray(c), jnp.asarray(s)
 
 
-def _matmul(x, m):
-    # Precision.HIGHEST: true f32 accumulation on the MXU (multi-pass bf16
-    # decomposition). The default TPU precision is a single bf16 pass, whose
-    # ~4e-3 relative error would blow the reference's 1e-5 parity bound.
+def _matmul(x, m, precision=lax.Precision.HIGHEST):
+    # Precision.HIGHEST (default): true f32 accumulation on the MXU
+    # (multi-pass bf16 decomposition). The default TPU precision is a single
+    # bf16 pass, whose ~4e-3 relative error would blow the reference's 1e-5
+    # parity bound — reduced-precision engines (bf16 FDL storage) may pass
+    # HIGH (3-pass) or DEFAULT (1-pass) explicitly to trade those passes
+    # for throughput, matching their storage error floor.
     return lax.dot_general(
         x,
         m,
         dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=lax.Precision.HIGHEST,
+        precision=precision,
     )
 
 
-def rfft_split(x: jnp.ndarray, n: int):
+def rfft_split(x: jnp.ndarray, n: int, precision=lax.Precision.HIGHEST):
     """Real [..., n] -> (re, im) each [..., n//2+1], unnormalized forward."""
     c, s = rfft_matrices(n)
     x = x.astype(jnp.float32)
-    return _matmul(x, c), _matmul(x, s)
+    return _matmul(x, c, precision), _matmul(x, s, precision)
 
 
-def irfft_split(re: jnp.ndarray, im: jnp.ndarray, n: int) -> jnp.ndarray:
+def irfft_split(
+    re: jnp.ndarray, im: jnp.ndarray, n: int, precision=lax.Precision.HIGHEST
+) -> jnp.ndarray:
     """(re, im) [..., n//2+1] -> real [..., n]; includes the 1/N factor
     (i.e. numpy-style normalized inverse)."""
     a, b = irfft_matrices(n)
-    return _matmul(re.astype(jnp.float32), a) + _matmul(im.astype(jnp.float32), b)
+    return _matmul(re.astype(jnp.float32), a, precision) + _matmul(
+        im.astype(jnp.float32), b, precision
+    )
 
 
 def rfft(x: jnp.ndarray, n: int) -> jnp.ndarray:
