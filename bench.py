@@ -9,9 +9,15 @@ Prints ONE JSON line to stdout:
      factor, ``extra/cli/src/convolver.cpp:108-113`` — is the baseline axis.
 
 Engines benchmarked (details to stderr):
-  - chunked:  Toeplitz-MXU multi-block mode (32 blocks/step; same
-    UPOLS math, S-block latency) — the throughput path
+  - nested:   two-level FDL mode (S=128 blocks/step; meta-FFT along the
+    frame axis, elementwise partition MAC) — the throughput path
+  - chunked:  Toeplitz-MXU multi-block mode (same math, batched matmul)
   - perblock: single-block streaming step (real-time path)
+
+Throughput engines stream ~150 s of audio so the metric reflects
+steady state: this remote-tunnel runtime adds ~28 ms of fixed dispatch +
+sync latency per jit call, which would dominate a 10 s stream (the 10 s IR
+/ block 512 / 64 ch *config* is unchanged; only the stream is longer).
 """
 
 from __future__ import annotations
@@ -68,7 +74,7 @@ def _time(proc, params, state, sig, repeats=2):
     return min(times)
 
 
-def bench_chunked(storage="bf16", s=32):
+def bench_chunked(storage="bf16", s=32, mult=16):
     jax = _setup_jax()
     import jax.numpy as jnp
 
@@ -79,11 +85,29 @@ def bench_chunked(storage="bf16", s=32):
     parts = _make_parts(P_REAL, cfg.num_bins)
     params = chunked.chunked_filter_params(cfg, parts, s)
     state = chunked.chunked_init_state(cfg, params)
-    nb = P_REAL - (P_REAL % s)  # ~10 s of audio
+    nb = (P_REAL - (P_REAL % s)) * mult  # ~150 s of audio (steady state)
     sig = jnp.asarray(_signal(nb))
     proc = jax.jit(
         partial(chunked.process_chunked, cfg, chunk_blocks=s), donate_argnums=(1,)
     )
+    dt = _time(proc, params, state, sig)
+    return CHANNELS * nb * BLOCK / dt, dt, nb
+
+
+def bench_nested(storage="bf16", s=128, mult=16):
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from neojax.conv import nested
+    from neojax.conv import convolver as cv
+
+    cfg = cv.PartitionedConfig(BLOCK, P_REAL, CHANNELS, storage=storage)
+    parts = _make_parts(P_REAL, cfg.num_bins)
+    params = nested.nested_filter_params(cfg, parts, s)
+    state = nested.nested_init_state(cfg, params)
+    nb = (P_REAL - (P_REAL % s)) * mult
+    sig = jnp.asarray(_signal(nb))
+    proc = jax.jit(partial(nested.process_nested, cfg), donate_argnums=(1,))
     dt = _time(proc, params, state, sig)
     return CHANNELS * nb * BLOCK / dt, dt, nb
 
@@ -131,6 +155,7 @@ def main():
             print(f"# {name} FAILED: {type(e).__name__}: {e}", file=sys.stderr)
 
     if on_tpu:
+        record("nested/bf16/S128", partial(bench_nested, "bf16", 128))
         record("chunked/bf16/S128", partial(bench_chunked, "bf16", 128))
         record("perblock/bf16/pallas", partial(bench_perblock, "bf16", "pallas"))
     else:

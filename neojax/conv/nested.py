@@ -1,0 +1,259 @@
+"""Nested (two-level) FDL convolution: the large-IR throughput engine.
+
+The chunked Toeplitz engine (``conv.chunked``) materializes the partition
+MAC as an MXU matmul whose [K, 2S, 2M] operand re-reads ~S shifted copies
+of the filter every chunk. This module removes that expansion with a
+classic recursive observation: per frequency bin, the FDL reduction
+
+    acc[s, k] = sum_j filt[j, k] * spec[s - j, k]          (j = 0..P-1)
+
+is *itself a streaming convolution* — of the block-spectra stream with the
+filter's partition sequence. So apply uniformly-partitioned OLS again, one
+level up ("meta"), along the frame axis:
+
+  - chunk S blocks -> block rfft -> S new spectra frames  [S, C, K]
+  - meta window = [previous S frames | new S frames]      (OLS, length 2S)
+  - C2C meta-FFT along the frame axis (matmul, size 2S)
+  - push into a meta-FDL ring of P2 = P/S meta-partitions
+  - elementwise complex MAC against the meta-filter spectra, reduce P2
+  - inverse meta-FFT, keep the last S frames (OLS valid part)
+  - block irfft -> S output blocks
+
+Per chunk this touches the meta-FDL once (the irreducible read), a
+P2-row filter, and O(S^2 * C * K) MXU flops for the meta transforms —
+there is no Toeplitz tensor at all. Two more wins over the Toeplitz form:
+
+  * **per-channel filters cost nothing extra** (the MAC is elementwise,
+    so the filter simply carries a C axis instead of broadcasting), and
+  * the minor dimension everywhere is the meta-bin axis (2S, a lane
+    multiple), not the odd block-bin count K.
+
+Output is mathematically identical to the per-block UPOLS/UPOLA schedule
+(reference ``uniform_partitioned_convolver.hpp:48-66``), with latency of
+S blocks — same contract as ``conv.chunked``. Partition counts are padded
+to a multiple of S with zero partitions (exact).
+
+Layouts: meta-FDL ``[2, P2, C, K, 2S]`` (plane 0 re / 1 im), meta-filter
+``[P2, C'|1, K, 2S]`` per plane, ring write position carried like
+``fdl_index`` (``fdl_index.hpp:24-36``); shared filters rotate the (small)
+filter via the tile-reverse + dynamic-slice trick of ``conv.fdl``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from neojax.conv.chunked import _fft_precisions, _bucket_bands  # noqa: F401
+from neojax.conv.convolver import PartitionedConfig, _canon_partitions
+from neojax.fft import matmul_backend
+
+__all__ = [
+    "nested_filter_params",
+    "nested_init_state",
+    "process_nested",
+]
+
+
+def _meta_fft_filter(plane_re, plane_im, s: int):
+    """[P, C', K] split filter partitions -> meta spectra [P2, C', K, 2S]."""
+    p, c, k = plane_re.shape
+    p2 = -(-p // s)
+    pad = p2 * s - p
+    if pad:
+        z = np.zeros((pad, c, k), plane_re.dtype)
+        plane_re = np.concatenate([plane_re, z], axis=0)
+        plane_im = np.concatenate([plane_im, z], axis=0)
+    # [P2, S, C', K] -> [P2, C', K, S] -> zero-pad frames to 2S -> FFT
+    fr = np.moveaxis(plane_re.reshape(p2, s, c, k), 1, -1)
+    fi = np.moveaxis(plane_im.reshape(p2, s, c, k), 1, -1)
+    fr = np.concatenate([fr, np.zeros_like(fr)], axis=-1)
+    fi = np.concatenate([fi, np.zeros_like(fi)], axis=-1)
+    n = 2 * s
+    t = np.arange(n)
+    ang = -2.0 * np.pi * np.outer(t, t) / n
+    cm, sm = np.cos(ang), np.sin(ang)
+    out_re = fr @ cm - fi @ sm
+    out_im = fr @ sm + fi @ cm
+    return out_re.astype(np.float32), out_im.astype(np.float32), p2
+
+
+def nested_filter_params(
+    config: PartitionedConfig,
+    partitions,
+    chunk_blocks: int,
+    mask=None,
+) -> dict:
+    """Build meta-FDL filter params (host-side numpy, like ``filter_params``).
+
+    Shared ([1, P, K]) or per-channel ([C, P, K]) filters both work.
+    ``mask``: optional boolean keep-mask ([P, K] or [C|1, P, K]); dropped
+    bins are zeroed (sparse semantics; no band compaction at this level —
+    use ``conv.chunked`` buckets when band savings matter).
+    """
+    filt = _canon_partitions(config, np.asarray(partitions)).astype(np.complex64)
+    if mask is not None:
+        m = np.asarray(mask, bool)
+        if m.ndim == 2:
+            m = m[None]
+        m = np.moveaxis(m, 0, 1)  # [P, C', K]
+        if m.shape[0] < filt.shape[0]:
+            pad = np.zeros((filt.shape[0] - m.shape[0],) + m.shape[1:], bool)
+            m = np.concatenate([m, pad], axis=0)
+        filt = np.where(np.broadcast_to(m, filt.shape), filt, 0)
+
+    s = chunk_blocks
+    fre, fim, p2 = _meta_fft_filter(
+        np.real(filt).astype(np.float32), np.imag(filt).astype(np.float32), s
+    )
+    dtype = jnp.bfloat16 if config.storage == "bf16" else jnp.float32
+    shared = fre.shape[1] == 1
+    if shared:
+        # tile-reversed for the contiguous rotated view (conv.fdl trick)
+        fre = np.concatenate([fre[::-1], fre[::-1]], axis=0)
+        fim = np.concatenate([fim[::-1], fim[::-1]], axis=0)
+    return {
+        "filt_re": jnp.asarray(fre, dtype),
+        "filt_im": jnp.asarray(fim, dtype),
+    }
+
+
+def _static_dims(params: dict) -> tuple[int, int, bool]:
+    """(p2, s, shared) from the filter's static shapes (jit-safe: no int
+    leaves in the params pytree — those would trace under jit)."""
+    filt = params["filt_re"]
+    shared = filt.shape[1] == 1
+    p2 = filt.shape[0] // 2 if shared else filt.shape[0]
+    s = filt.shape[-1] // 2
+    return p2, s, shared
+
+
+def nested_init_state(config: PartitionedConfig, params: dict) -> dict:
+    dtype = jnp.bfloat16 if config.storage == "bf16" else jnp.float32
+    c = config.channels
+    k = config.num_bins
+    p2, s, _ = _static_dims(params)
+    return {
+        "tail": jnp.zeros((c, config.block_size), jnp.float32),
+        "prev": jnp.zeros((2, c, k, s), dtype),
+        "fdl": jnp.zeros((2, p2, c, k, 2 * s), dtype),
+        "pos": jnp.zeros((), jnp.int32),
+    }
+
+
+def process_nested(
+    config: PartitionedConfig,
+    params: dict,
+    state: dict,
+    signal: jnp.ndarray,
+    chunk_blocks: int | None = None,
+):
+    """Process [C, T] (or [T]) through the nested-FDL path, S blocks/step.
+
+    T is padded up to a multiple of S*B (output trimmed; the returned
+    state reflects the padded stream, like ``process_chunked``).
+    """
+    b = config.block_size
+    n = config.transform_size
+    k = config.num_bins
+    p2, s, shared = _static_dims(params)
+    if chunk_blocks is not None and chunk_blocks != s:
+        raise ValueError(f"chunk_blocks {chunk_blocks} != filter params' {s}")
+    carry_dtype = state["fdl"].dtype
+    fwd_prec, inv_prec = _fft_precisions(config)
+    meta_prec = fwd_prec
+
+    signal = jnp.asarray(signal, jnp.float32)
+    squeeze = signal.ndim == 1
+    if squeeze:
+        signal = signal[None]
+    c, t_len = signal.shape
+
+    num_chunks = -(-t_len // (s * b))
+    padded = jnp.pad(signal, ((0, 0), (0, num_chunks * s * b - t_len)))
+    blocks = jnp.moveaxis(padded.reshape(c, num_chunks, s, b), (1, 2), (0, 1))
+
+    filt_re = params["filt_re"]
+    filt_im = params["filt_im"]
+
+    def chunk_step(carry, chunk):  # chunk [S, C, B]
+        tail, prev, fdl, pos = carry
+
+        if config.scheme == "upols":
+            prev_blocks = jnp.concatenate([tail[None], chunk[:-1]], axis=0)
+            frames = jnp.concatenate([prev_blocks, chunk], axis=-1)  # [S, C, 2B]
+            new_tail = chunk[-1]
+        else:  # upola
+            frames = jnp.pad(chunk, ((0, 0), (0, 0), (0, n - b)))
+            new_tail = None
+
+        sre, sim = matmul_backend.rfft_split(frames, n, fwd_prec)  # [S, C, K]
+        cur = jnp.stack(
+            [jnp.moveaxis(sre, 0, -1), jnp.moveaxis(sim, 0, -1)]
+        ).astype(carry_dtype)  # [2, C, K, S]
+
+        # meta OLS window (2S frames) + C2C meta-FFT along the frame axis
+        wre = jnp.concatenate([prev[0], cur[0]], axis=-1).astype(jnp.float32)
+        wim = jnp.concatenate([prev[1], cur[1]], axis=-1).astype(jnp.float32)
+        xre, xim = matmul_backend.fft_split(wre, wim, 2 * s, precision=meta_prec)
+
+        # ring insert + rotated meta-filter, exactly the fdl_index schedule
+        z = jnp.zeros((), pos.dtype)
+        row = jnp.stack([xre, xim]).astype(carry_dtype)[:, None]  # [2,1,C,K,2S]
+        fdl = lax.dynamic_update_slice(fdl, row, (z, pos, z, z, z))
+        if shared:
+            fre = lax.dynamic_slice_in_dim(filt_re, p2 - 1 - pos, p2, axis=0)
+            fim = lax.dynamic_slice_in_dim(filt_im, p2 - 1 - pos, p2, axis=0)
+        else:
+            ages = jnp.mod(pos - jnp.arange(p2), p2)
+            xg_re = fdl[0][ages]
+            xg_im = fdl[1][ages]
+
+        if shared:
+            xr = fdl[0].astype(jnp.float32)
+            xi = fdl[1].astype(jnp.float32)
+            fr = fre.astype(jnp.float32)
+            fi = fim.astype(jnp.float32)
+        else:
+            xr = xg_re.astype(jnp.float32)
+            xi = xg_im.astype(jnp.float32)
+            fr = filt_re.astype(jnp.float32)
+            fi = filt_im.astype(jnp.float32)
+        acc_re = jnp.sum(xr * fr - xi * fi, axis=0)  # [C, K, 2S]
+        acc_im = jnp.sum(xr * fi + xi * fr, axis=0)
+
+        # inverse meta-FFT (unnormalized fwd-with-swapped-sign + 1/2S)
+        yre, yim = matmul_backend.fft_split(
+            acc_re, acc_im, 2 * s, inverse=True, precision=meta_prec
+        )
+        yre = yre[..., s:] * (1.0 / (2 * s))  # OLS: keep the last S frames
+        yim = yim[..., s:] * (1.0 / (2 * s))
+
+        y = matmul_backend.irfft_split(
+            jnp.moveaxis(yre, -1, 0), jnp.moveaxis(yim, -1, 0), n, inv_prec
+        )  # [S, C, 2B]
+
+        if config.scheme == "upols":
+            out = y[..., b:]
+        else:
+            prev_tails = jnp.concatenate([tail[None], y[:-1, :, b:]], axis=0)
+            out = y[..., :b] + prev_tails
+            new_tail = y[-1, :, b:]
+
+        new_pos = jnp.mod(pos + 1, p2)
+        return (
+            (new_tail.astype(jnp.float32), cur, fdl, new_pos),
+            out.astype(jnp.float32),
+        )
+
+    (tail, prev, fdl, pos), outs = lax.scan(
+        chunk_step,
+        (state["tail"], state["prev"], state["fdl"], state["pos"]),
+        blocks,
+    )
+    out = jnp.moveaxis(outs, 2, 0).reshape(c, num_chunks * s * b)[:, :t_len]
+    if squeeze:
+        out = out[0]
+    return {"tail": tail, "prev": prev, "fdl": fdl, "pos": pos}, out

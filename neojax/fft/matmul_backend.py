@@ -129,14 +129,20 @@ def irfft(spec: jnp.ndarray, n: int) -> jnp.ndarray:
     return irfft_split(jnp.real(spec), jnp.imag(spec), n)
 
 
-def fft_split(re: jnp.ndarray, im: jnp.ndarray, n: int, inverse: bool = False):
+def fft_split(
+    re: jnp.ndarray,
+    im: jnp.ndarray,
+    n: int,
+    inverse: bool = False,
+    precision=lax.Precision.HIGHEST,
+):
     """Full C2C DFT in split layout; unnormalized in both directions."""
     c, s = fft_matrices(n)
     if inverse:
         # Conjugate twiddles: cos unchanged, sin negated.
-        out_re = _matmul(re, c) + _matmul(im, s)
-        out_im = _matmul(im, c) - _matmul(re, s)
+        out_re = _matmul(re, c, precision) + _matmul(im, s, precision)
+        out_im = _matmul(im, c, precision) - _matmul(re, s, precision)
     else:
-        out_re = _matmul(re, c) - _matmul(im, s)
-        out_im = _matmul(re, s) + _matmul(im, c)
+        out_re = _matmul(re, c, precision) - _matmul(im, s, precision)
+        out_im = _matmul(re, s, precision) + _matmul(im, c, precision)
     return out_re, out_im
