@@ -196,9 +196,12 @@ def _use_pallas_mac(config: PartitionedConfig) -> bool:
         return True
     if config.mac_backend == "xla":
         return False
-    # auto: the Pallas kernel is TPU-only; quantized storage stays on the
-    # XLA path until the kernel's scale broadcast is lane-efficient.
-    return jax.default_backend() == "tpu" and config.storage in ("split", "bf16")
+    # auto: the Pallas kernel is TPU-only. All split-plane storages use it,
+    # including int8/int16 — the fused in-kernel dequant beats the XLA path
+    # ~3x (which materializes a dequantized f32 delay line every block).
+    return jax.default_backend() == "tpu" and config.storage in (
+        "split", "bf16", "int8", "int16"
+    )
 
 
 def step(config: PartitionedConfig, params: dict, state: dict, block: jnp.ndarray):

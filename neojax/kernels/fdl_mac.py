@@ -30,6 +30,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["fdl_mac_pallas"]
 
+# Tunables (module-level so the bench harness can sweep them; defaults are
+# the measured-best on v5e).
+_K_TILE = 128
+_VMEM_BUDGET = 4 * 1024 * 1024
+
 _INT_MAX = {jnp.dtype(jnp.int8): 127.0, jnp.dtype(jnp.int16): 32767.0}
 
 
@@ -37,8 +42,11 @@ def _kernel(fdl_ref, fr_ref, fi_ref, or_ref, oi_ref):
     p = pl.program_id(1)
     x = fdl_ref[...].astype(jnp.float32)  # [2, Pc, C, Kt]
     xr, xi = x[0], x[1]
-    fr = fr_ref[...]  # [Pc, C', Kt]
+    fr = fr_ref[...]  # [Pc, C', Kt] or, shared, [Pc, Kt]
     fi = fi_ref[...]
+    if fr.ndim == 2:
+        fr = fr[:, None, :]
+        fi = fi[:, None, :]
     re = jnp.sum(xr * fr - xi * fi, axis=0)  # [C, Kt]
     im = jnp.sum(xr * fi + xi * fr, axis=0)
 
@@ -60,6 +68,9 @@ def _kernel_quant(fdl_ref, scl_ref, fr_ref, fi_ref, or_ref, oi_ref, *, inv_max):
     xr, xi = x[0], x[1]
     fr = fr_ref[...]
     fi = fi_ref[...]
+    if fr.ndim == 2:
+        fr = fr[:, None, :]
+        fi = fi[:, None, :]
     re = jnp.sum(xr * fr - xi * fi, axis=0)
     im = jnp.sum(xr * fi + xi * fr, axis=0)
 
@@ -85,8 +96,14 @@ def fdl_mac_pallas(fdl, filt_re, filt_im, scales=None, *, interpret=False):
     """
     _, p, c, k = fdl.shape
     cf = filt_re.shape[1]
+    if cf == 1:
+        # A [P, 1, K] filter block would occupy one sublane of an (8, 128)
+        # tile — an 8x-padded strided DMA per partition row. Rank-2 [P, K]
+        # is densely tiled; the kernel broadcasts over channels instead.
+        filt_re = filt_re.reshape(p, k)
+        filt_im = filt_im.reshape(p, k)
 
-    k_tile = 128
+    k_tile = min(_K_TILE, k)
     nk = pl.cdiv(k, k_tile)
     # Partition chunk sized so a double-buffered fdl block stays well under
     # VMEM. The chunk MUST divide P exactly: a ragged final chunk would read
@@ -95,7 +112,7 @@ def fdl_mac_pallas(fdl, filt_re, filt_im, scales=None, *, interpret=False):
     # back). Callers keep P a multiple of 32 for full-speed chunks
     # (Convolver pads the filter with zero partitions automatically).
     bytes_per = jnp.dtype(fdl.dtype).itemsize
-    budget = 4 * 1024 * 1024
+    budget = _VMEM_BUDGET
     cap = max(1, min(p, budget // max(1, 2 * c * k_tile * bytes_per * 2)))
     pc = 1
     for d in range(cap, 0, -1):
@@ -114,7 +131,10 @@ def fdl_mac_pallas(fdl, filt_re, filt_im, scales=None, *, interpret=False):
         pl.BlockSpec((c, k_tile), lambda kk, pp: (0, kk)),
     )
     fdl_spec = pl.BlockSpec((2, pc, c, k_tile), lambda kk, pp: (0, pp, 0, kk))
-    fr_spec = pl.BlockSpec((pc, cf, k_tile), lambda kk, pp: (pp, 0, kk))
+    if cf == 1:
+        fr_spec = pl.BlockSpec((pc, k_tile), lambda kk, pp: (pp, kk))
+    else:
+        fr_spec = pl.BlockSpec((pc, cf, k_tile), lambda kk, pp: (pp, 0, kk))
 
     if scales is None:
         return pl.pallas_call(
