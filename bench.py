@@ -10,7 +10,9 @@ Prints ONE JSON line to stdout:
 
 Engines benchmarked (details to stderr):
   - nested:   two-level FDL mode (S=128 blocks/step; meta-FFT along the
-    frame axis, elementwise partition MAC) — the throughput path
+    frame axis, elementwise partition MAC) — the throughput path.
+    Storage ladder (measured SNR vs f64 oracle on this config):
+    int8 42 dB, bf16 51 dB, int16 87 dB, split f32 exact (1e-5).
   - chunked:  Toeplitz-MXU multi-block mode (same math, batched matmul)
   - perblock: single-block streaming step (real-time path)
 
@@ -155,7 +157,9 @@ def main():
             print(f"# {name} FAILED: {type(e).__name__}: {e}", file=sys.stderr)
 
     if on_tpu:
+        record("nested/int8/S128", partial(bench_nested, "int8", 128))
         record("nested/bf16/S128", partial(bench_nested, "bf16", 128))
+        record("nested/int16/S128", partial(bench_nested, "int16", 128))
         record("chunked/bf16/S128", partial(bench_chunked, "bf16", 128))
         record("perblock/bf16/pallas", partial(bench_perblock, "bf16", "pallas"))
     else:

@@ -46,9 +46,11 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from neojax.conv.chunked import _fft_precisions, _bucket_bands  # noqa: F401
+from neojax.conv.chunked import _bucket_bands  # noqa: F401
+from neojax.conv.chunked import _fft_precisions as _chunked_fft_precisions
 from neojax.conv.convolver import PartitionedConfig, _canon_partitions
 from neojax.fft import matmul_backend
+from neojax.ops.quantize import int_max_for
 
 __all__ = [
     "nested_filter_params",
@@ -120,6 +122,24 @@ def nested_filter_params(
     }
 
 
+def _storage_dtype(config: PartitionedConfig):
+    from neojax.conv.fdl import STORAGE_DTYPES
+
+    if config.storage == "dense":  # host/CPU convenience: split planes anyway
+        return jnp.float32
+    return STORAGE_DTYPES[config.storage]
+
+
+def _fft_precisions(config: PartitionedConfig):
+    # Quantized storages share bf16's reduced-pass policy: their error
+    # floor is the int storage, not the transforms.
+    if config.storage in ("int8", "int16"):
+        from jax import lax as _lax
+
+        return (_lax.Precision.HIGH, _lax.Precision.HIGH)
+    return _chunked_fft_precisions(config)
+
+
 def _static_dims(params: dict) -> tuple[int, int, bool]:
     """(p2, s, shared) from the filter's static shapes (jit-safe: no int
     leaves in the params pytree — those would trace under jit)."""
@@ -131,16 +151,23 @@ def _static_dims(params: dict) -> tuple[int, int, bool]:
 
 
 def nested_init_state(config: PartitionedConfig, params: dict) -> dict:
-    dtype = jnp.bfloat16 if config.storage == "bf16" else jnp.float32
+    dtype = _storage_dtype(config)
     c = config.channels
     k = config.num_bins
     p2, s, _ = _static_dims(params)
-    return {
+    prev_dtype = jnp.bfloat16 if config.storage == "bf16" else jnp.float32
+    state = {
         "tail": jnp.zeros((c, config.block_size), jnp.float32),
-        "prev": jnp.zeros((2, c, k, s), dtype),
+        "prev": jnp.zeros((2, c, k, s), prev_dtype),
         "fdl": jnp.zeros((2, p2, c, k, 2 * s), dtype),
         "pos": jnp.zeros((), jnp.int32),
     }
+    if config.storage in ("int8", "int16"):
+        # per-(partition, channel, bin) dynamic dequant scale (compressed
+        # FDL semantics, ``compressed_fdl.hpp:17`` with the dynamic-scale
+        # improvement of ``conv.fdl``)
+        state["scales"] = jnp.ones((p2, c, k), jnp.float32)
+    return state
 
 
 def process_nested(
@@ -162,6 +189,9 @@ def process_nested(
     if chunk_blocks is not None and chunk_blocks != s:
         raise ValueError(f"chunk_blocks {chunk_blocks} != filter params' {s}")
     carry_dtype = state["fdl"].dtype
+    quant = config.storage in ("int8", "int16")
+    imax = int_max_for(carry_dtype) if quant else None
+    prev_dtype = state["prev"].dtype
     fwd_prec, inv_prec = _fft_precisions(config)
     meta_prec = fwd_prec
 
@@ -179,7 +209,11 @@ def process_nested(
     filt_im = params["filt_im"]
 
     def chunk_step(carry, chunk):  # chunk [S, C, B]
-        tail, prev, fdl, pos = carry
+        if quant:
+            tail, prev, fdl, pos, scales = carry
+        else:
+            tail, prev, fdl, pos = carry
+            scales = None
 
         if config.scheme == "upols":
             prev_blocks = jnp.concatenate([tail[None], chunk[:-1]], axis=0)
@@ -192,7 +226,7 @@ def process_nested(
         sre, sim = matmul_backend.rfft_split(frames, n, fwd_prec)  # [S, C, K]
         cur = jnp.stack(
             [jnp.moveaxis(sre, 0, -1), jnp.moveaxis(sim, 0, -1)]
-        ).astype(carry_dtype)  # [2, C, K, S]
+        ).astype(prev_dtype)  # [2, C, K, S]
 
         # meta OLS window (2S frames) + C2C meta-FFT along the frame axis
         wre = jnp.concatenate([prev[0], cur[0]], axis=-1).astype(jnp.float32)
@@ -201,8 +235,18 @@ def process_nested(
 
         # ring insert + rotated meta-filter, exactly the fdl_index schedule
         z = jnp.zeros((), pos.dtype)
-        row = jnp.stack([xre, xim]).astype(carry_dtype)[:, None]  # [2,1,C,K,2S]
-        fdl = lax.dynamic_update_slice(fdl, row, (z, pos, z, z, z))
+        row_f = jnp.stack([xre, xim])  # [2, C, K, 2S] f32
+        if quant:
+            peak = jnp.max(jnp.abs(row_f), axis=(0, 3))  # [C, K]
+            scale = jnp.where(peak > 0, peak, 1.0)
+            q = jnp.clip(
+                jnp.round(row_f / scale[None, :, :, None] * imax), -imax, imax
+            ).astype(carry_dtype)
+            fdl = lax.dynamic_update_slice(fdl, q[:, None], (z, pos, z, z, z))
+            scales = lax.dynamic_update_slice(scales, scale[None], (pos, z, z))
+        else:
+            row = row_f.astype(carry_dtype)[:, None]  # [2,1,C,K,2S]
+            fdl = lax.dynamic_update_slice(fdl, row, (z, pos, z, z, z))
         if shared:
             fre = lax.dynamic_slice_in_dim(filt_re, p2 - 1 - pos, p2, axis=0)
             fim = lax.dynamic_slice_in_dim(filt_im, p2 - 1 - pos, p2, axis=0)
@@ -216,11 +260,17 @@ def process_nested(
             xi = fdl[1].astype(jnp.float32)
             fr = fre.astype(jnp.float32)
             fi = fim.astype(jnp.float32)
+            dq = scales
         else:
             xr = xg_re.astype(jnp.float32)
             xi = xg_im.astype(jnp.float32)
             fr = filt_re.astype(jnp.float32)
             fi = filt_im.astype(jnp.float32)
+            dq = scales[ages] if quant else None
+        if quant:
+            dq = (dq * (1.0 / imax))[..., None]  # [P2, C, K, 1]
+            xr = xr * dq
+            xi = xi * dq
         acc_re = jnp.sum(xr * fr - xi * fi, axis=0)  # [C, K, 2S]
         acc_im = jnp.sum(xr * fi + xi * fr, axis=0)
 
@@ -243,17 +293,21 @@ def process_nested(
             new_tail = y[-1, :, b:]
 
         new_pos = jnp.mod(pos + 1, p2)
-        return (
-            (new_tail.astype(jnp.float32), cur, fdl, new_pos),
-            out.astype(jnp.float32),
-        )
+        new_carry = (new_tail.astype(jnp.float32), cur, fdl, new_pos)
+        if quant:
+            new_carry = new_carry + (scales,)
+        return new_carry, out.astype(jnp.float32)
 
-    (tail, prev, fdl, pos), outs = lax.scan(
-        chunk_step,
-        (state["tail"], state["prev"], state["fdl"], state["pos"]),
-        blocks,
-    )
+    carry0 = (state["tail"], state["prev"], state["fdl"], state["pos"])
+    if quant:
+        carry0 = carry0 + (state["scales"],)
+    final, outs = lax.scan(chunk_step, carry0, blocks)
+    new_state = {
+        "tail": final[0], "prev": final[1], "fdl": final[2], "pos": final[3],
+    }
+    if quant:
+        new_state["scales"] = final[4]
     out = jnp.moveaxis(outs, 2, 0).reshape(c, num_chunks * s * b)[:, :t_len]
     if squeeze:
         out = out[0]
-    return {"tail": tail, "prev": prev, "fdl": fdl, "pos": pos}, out
+    return new_state, out

@@ -22,9 +22,11 @@ The ppermute (one [C_local, K] spectrum) overlaps with the irfft; sizing:
 hand-off bytes per block are 1/(P/D) of the local MAC traffic, so scaling
 stays near-linear for deep FDLs.
 
-Storage: "dense" (complex64 — CPU meshes), or the TPU-native split planes
-("split" f32 / "bf16"), where spectra stay as separate re/im arrays and
-the rfft/irfft run on the MXU matmul backend.
+Storage: "dense" (complex64 — CPU meshes), the TPU-native split planes
+("split" f32 / "bf16"), or quantized planes ("int8"/"int16") where each
+spectrum carries a per-channel dynamic scale (``conv.fdl`` semantics): the
+scale rides the same ppermute hand-off as its spectrum, and the dequant
+multiply fuses into the local MAC.
 """
 
 from __future__ import annotations
@@ -35,6 +37,7 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from neojax.conv.convolver import PartitionedConfig
+from neojax.ops.quantize import int_max_for
 from neojax.conv.overlap import stream_blocks, unstream_blocks
 from neojax.fft import api as fft_api
 from neojax.fft import matmul_backend
@@ -46,10 +49,8 @@ class PipelineConvolver:
     """Partition+channel sharded streaming convolver (UPOLS schedule)."""
 
     def __init__(self, config: PartitionedConfig, mesh: Mesh):
-        if config.storage not in ("dense", "split", "bf16"):
-            raise NotImplementedError(
-                "pipeline convolver supports dense/split/bf16 storage"
-            )
+        if config.storage not in ("dense", "split", "bf16", "int8", "int16"):
+            raise NotImplementedError(f"unknown storage: {config.storage!r}")
         self.config = config
         self.mesh = mesh
         self.d_part = mesh.shape["part"]
@@ -64,6 +65,7 @@ class PipelineConvolver:
                 f"channels {config.channels} not divisible by mesh ch={self.d_ch}"
             )
         self._split = config.storage != "dense"
+        self._quant = config.storage in ("int8", "int16")
         self._process = jax.jit(self._build_process())
 
     # -- state ------------------------------------------------------------
@@ -73,17 +75,25 @@ class PipelineConvolver:
         shape = (cfg.num_partitions, cfg.channels, cfg.num_bins)
         inc_shape = (self.d_part, cfg.channels, cfg.num_bins)
         if self._split:
-            dtype = jnp.bfloat16 if cfg.storage == "bf16" else jnp.float32
+            from neojax.conv.fdl import STORAGE_DTYPES
+
+            dtype = STORAGE_DTYPES[cfg.storage]
             fdl = jnp.zeros((2,) + shape, dtype)
             incoming = jnp.zeros((2,) + inc_shape, dtype)
         else:
             fdl = jnp.zeros(shape, jnp.complex64)
             incoming = jnp.zeros(inc_shape, jnp.complex64)
-        return {
+        state = {
             "tail": jnp.zeros((cfg.channels, cfg.block_size), jnp.float32),
             "fdl": fdl,
             "incoming": incoming,
         }
+        if self._quant:
+            state["scales"] = jnp.ones(
+                (cfg.num_partitions, cfg.channels, 1), jnp.float32
+            )
+            state["inc_scale"] = jnp.ones((self.d_part, cfg.channels, 1), jnp.float32)
+        return state
 
     # -- the sharded step -------------------------------------------------
 
@@ -93,30 +103,53 @@ class PipelineConvolver:
         b = cfg.block_size
         n = cfg.transform_size
         split = self._split
+        quant = self._quant
+        imax = int_max_for(
+            {"int8": jnp.int8, "int16": jnp.int16}.get(cfg.storage, jnp.int8)
+        ) if quant else None
 
-        ring_perm = None  # built inside with axis size
-
-        def local_process(filt, tail, fdl, incoming, blocks):
+        def local_process(filt, tail, fdl, scales, incoming, inc_scale, blocks):
             part_idx = jax.lax.axis_index("part")
             nparts = jax.lax.axis_size("part")
             perm = [(i, (i + 1) % nparts) for i in range(nparts)]
 
             def step(carry, block):
-                tail, fdl, inc = carry
+                tail, fdl, scl, inc, incs = carry
                 frame = jnp.concatenate([tail, block], axis=-1)
 
                 if split:
                     sr, si = matmul_backend.rfft_split(frame, n)
-                    spec = jnp.stack([sr, si]).astype(fdl.dtype)  # [2, C, K]
-                    mine = jnp.where(part_idx == 0, spec, inc[:, 0])
+                    spec = jnp.stack([sr, si])  # [2, C, K] f32
+                    if quant:
+                        peak = jnp.max(jnp.abs(spec), axis=(0, 2))  # [C]
+                        my_scale = jnp.where(peak > 0, peak, 1.0)[:, None]  # [C,1]
+                        q = jnp.clip(
+                            jnp.round(spec / my_scale[None] * imax), -imax, imax
+                        ).astype(fdl.dtype)
+                        mine = jnp.where(part_idx == 0, q, inc[:, 0])
+                        mine_scale = jnp.where(part_idx == 0, my_scale, incs[0])
+                        scl_new = jnp.concatenate(
+                            [mine_scale[None], scl[:-1]], axis=0
+                        )
+                    else:
+                        spec = spec.astype(fdl.dtype)
+                        mine = jnp.where(part_idx == 0, spec, inc[:, 0])
+                        scl_new = scl
                     fdl_new = jnp.concatenate([mine[:, None], fdl[:, :-1]], axis=1)
                     fr, fi = filt[0], filt[1]  # [P/D, C, K] f32
                     x = fdl_new.astype(jnp.float32)
+                    if quant:
+                        x = x * (scl_new * (1.0 / imax))[None]
                     acc_re = jnp.sum(x[0] * fr - x[1] * fi, axis=0)
                     acc_im = jnp.sum(x[0] * fi + x[1] * fr, axis=0)
                     acc_re = jax.lax.psum(acc_re, "part")
                     acc_im = jax.lax.psum(acc_im, "part")
                     handoff = jax.lax.ppermute(fdl_new[:, -1], "part", perm)
+                    if quant:
+                        scale_handoff = jax.lax.ppermute(scl_new[-1], "part", perm)
+                        incs_next = scale_handoff[None]
+                    else:
+                        incs_next = incs
                     y = matmul_backend.irfft_split(acc_re, acc_im, n)
                     inc_next = handoff[:, None]
                 else:
@@ -129,17 +162,21 @@ class PipelineConvolver:
                     y = fft_api.irfft(acc, n=n)
                     inc_next = handoff[None]
 
+                    scl_new = scl
+                    incs_next = incs
+
                 out = y[..., b:]
-                return (block, fdl_new, inc_next), out
+                return (block, fdl_new, scl_new, inc_next, incs_next), out
 
             if split:
                 inc0 = incoming[:, 0][:, None]
             else:
                 inc0 = incoming[0][None]
-            (tail, fdl, incoming_out), outs = jax.lax.scan(
-                step, (tail, fdl, inc0), blocks
+            incs0 = inc_scale[0][None]
+            (tail, fdl, scales_out, incoming_out, incs_out), outs = jax.lax.scan(
+                step, (tail, fdl, scales, inc0, incs0), blocks
             )
-            return tail, fdl, incoming_out, outs
+            return tail, fdl, scales_out, incoming_out, incs_out, outs
 
         if split:
             fdl_spec = P(None, "part", "ch", None)
@@ -149,22 +186,35 @@ class PipelineConvolver:
             fdl_spec = P("part", "ch", None)
             inc_spec = P("part", "ch", None)
             filt_spec = P("part", "ch", None)
+        scl_spec = P("part", "ch", None)
 
         sharded = shard_map(
             local_process,
             mesh=mesh,
-            in_specs=(filt_spec, P("ch", None), fdl_spec, inc_spec, P(None, "ch", None)),
-            out_specs=(P("ch", None), fdl_spec, inc_spec, P(None, "ch", None)),
+            in_specs=(filt_spec, P("ch", None), fdl_spec, scl_spec, inc_spec,
+                      scl_spec, P(None, "ch", None)),
+            out_specs=(P("ch", None), fdl_spec, scl_spec, inc_spec, scl_spec,
+                       P(None, "ch", None)),
             check_vma=False,
         )
 
         def process(filt, state, signal):
             blocks, length = stream_blocks(signal, b)
-            tail, fdl, incoming, outs = sharded(
-                filt, state["tail"], state["fdl"], state["incoming"], blocks
+            scales = state.get("scales")
+            inc_scale = state.get("inc_scale")
+            if scales is None:  # placeholders keep one shard_map signature
+                scales = jnp.ones((cfg.num_partitions, cfg.channels, 1), jnp.float32)
+                inc_scale = jnp.ones((self.d_part, cfg.channels, 1), jnp.float32)
+            tail, fdl, scales, incoming, inc_scale, outs = sharded(
+                filt, state["tail"], state["fdl"], scales, state["incoming"],
+                inc_scale, blocks,
             )
             out = unstream_blocks(outs, length)
-            return {"tail": tail, "fdl": fdl, "incoming": incoming}, out
+            new_state = {"tail": tail, "fdl": fdl, "incoming": incoming}
+            if self._quant:
+                new_state["scales"] = scales
+                new_state["inc_scale"] = inc_scale
+            return new_state, out
 
         return process
 

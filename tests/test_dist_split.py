@@ -7,7 +7,7 @@ import jax.numpy as jnp
 from neojax import conv, dist
 
 
-@pytest.mark.parametrize("storage", ["split", "bf16"])
+@pytest.mark.parametrize("storage", ["split", "bf16", "int8", "int16"])
 @pytest.mark.parametrize("part,ch", [(4, 2), (2, 4)])
 def test_split_pipeline_matches_oracle(make_noise, storage, part, ch):
     b = 64
@@ -27,7 +27,10 @@ def test_split_pipeline_matches_oracle(make_noise, storage, part, ch):
     _, out = pipe.process(filt, state, sig)
     out = np.asarray(out)
 
-    tol = 1e-2 if storage == "bf16" else 1e-4  # bf16: 2^-8 rel on ~O(10) spectra
+    # bf16: 2^-8 rel on ~O(10) spectra; int8/int16 follow the reference's
+    # compressed-FDL bounds scaled by spectrum magnitude (the quantized
+    # spectra here are O(10), vs the reference's unit-range test vectors).
+    tol = {"split": 1e-4, "bf16": 1e-2, "int16": 1e-2, "int8": 1e-1}[storage]
     for c in range(channels):
         ref = np.convolve(np.asarray(sig)[c], ir)[: out.shape[1]]
         assert np.max(np.abs(out[c] - ref)) < tol

@@ -97,3 +97,27 @@ def test_nested_rejects_mismatched_chunk_blocks(make_noise):
     nstate = nested.nested_init_state(cfg, nparams)
     with pytest.raises(ValueError):
         nested.process_nested(cfg, nparams, nstate, jnp.zeros((1, 8 * b)), chunk_blocks=8)
+
+
+@pytest.mark.parametrize("storage,tol", [("int16", 1e-2), ("int8", 1e-1)])
+def test_nested_quantized_storage(make_noise, storage, tol):
+    """Compressed meta-FDL (int8/int16 + per-(c,k) dynamic scales)."""
+    b = 64
+    p = 16
+    ir = make_noise(p * b) * 0.2
+    sig = make_noise(2, 16 * b)
+    parts = conv.uniform_partition(ir, b)
+
+    cfg = conv.PartitionedConfig(b, p, channels=2, storage=storage)
+    nparams = nested.nested_filter_params(cfg, parts, 4)
+    nstate = nested.nested_init_state(cfg, nparams)
+    st, out = nested.process_nested(cfg, nparams, nstate, jnp.asarray(sig))
+    out = np.asarray(out)
+    assert "scales" in st
+
+    for ch in range(2):
+        ref = np.convolve(np.asarray(sig)[ch], ir)[: out.shape[1]]
+        # tolerance scales with spectrum magnitude (the reference's
+        # compressed-FDL bounds assume unit-range data,
+        # compressed_fdl_test.cpp:24-29)
+        assert np.max(np.abs(out[ch] - ref)) < tol
