@@ -6,7 +6,7 @@ result.
 
 Usage:
     python -m neojax.cli signal.wav impulse.wav out.wav \
-        [--block 4096] [--engine upols|upola] \
+        [--block 4096] [--engine upols|upola|chunked|nested] \
         [--storage dense|split|bf16|int16|int8] [--threshold-db DB]
 """
 
@@ -26,8 +26,11 @@ def main(argv=None) -> int:
     ap.add_argument("output")
     ap.add_argument("--block", type=int, default=4096)
     ap.add_argument(
-        "--engine", default="upols", choices=["upols", "upola", "chunked"],
-        help="chunked = Toeplitz-MXU throughput mode (offline; S-block latency)",
+        "--engine", default="upols",
+        choices=["upols", "upola", "chunked", "nested"],
+        help="chunked = Toeplitz-MXU throughput mode; nested = two-level-FDL "
+        "throughput mode (fastest; per-channel capable). Both are offline "
+        "paths with S-block latency.",
     )
     ap.add_argument("--chunk-blocks", type=int, default=32)
     ap.add_argument(
@@ -76,24 +79,36 @@ def main(argv=None) -> int:
         print(f"perceptual mask: {density * 100:.1f}% bins kept")
 
     t0 = time.perf_counter()
-    if args.engine == "chunked":
+    if args.engine in ("chunked", "nested"):
         import jax
-        from neojax.conv import chunked
         from neojax.conv.convolver import PartitionedConfig
 
         storage = args.storage or (
             "dense" if jax.default_backend() == "cpu" else "bf16"
         )
         if storage == "dense":
-            storage = "split"  # chunked mode is split-native
+            storage = "split"  # the throughput modes are split-native
         cfg = PartitionedConfig(
             args.block, parts.shape[1], channels=sig.shape[0], storage=storage
         )
-        cparams = chunked.chunked_filter_params(
-            cfg, parts, args.chunk_blocks, mask=sparsity
-        )
-        cstate = chunked.chunked_init_state(cfg, cparams)
-        _, out = chunked.process_chunked(cfg, cparams, cstate, sig, args.chunk_blocks)
+        if args.engine == "nested":
+            from neojax.conv import nested
+
+            nparams = nested.nested_filter_params(
+                cfg, parts, args.chunk_blocks, mask=sparsity
+            )
+            nstate = nested.nested_init_state(cfg, nparams)
+            _, out = nested.process_nested(cfg, nparams, nstate, sig)
+        else:
+            from neojax.conv import chunked
+
+            cparams = chunked.chunked_filter_params(
+                cfg, parts, args.chunk_blocks, mask=sparsity
+            )
+            cstate = chunked.chunked_init_state(cfg, cparams)
+            _, out = chunked.process_chunked(
+                cfg, cparams, cstate, sig, args.chunk_blocks
+            )
         out = np.asarray(out)
     else:
         c = conv.make_convolver(args.engine, args.storage)

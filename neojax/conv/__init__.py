@@ -16,7 +16,17 @@ from neojax.conv.convolver import (
     upola_convolver_v2,
     upols_convolver,
 )
+from neojax.conv.chunked import (
+    chunked_filter_params,
+    chunked_init_state,
+    process_chunked,
+)
 from neojax.conv.direct import direct_convolve
+from neojax.conv.nested import (
+    nested_filter_params,
+    nested_init_state,
+    process_nested,
+)
 from neojax.conv.fft_conv import fft_convolve
 from neojax.conv.modes import Method, Mode, output_size
 from neojax.conv.overlap import OverlapAdd, OverlapSave, stream_blocks, unstream_blocks
@@ -39,6 +49,12 @@ __all__ = [
     "split_upola_convolver",
     "sparse_upols_convolver",
     "sparse_upola_convolver",
+    "chunked_filter_params",
+    "chunked_init_state",
+    "process_chunked",
+    "nested_filter_params",
+    "nested_init_state",
+    "process_nested",
     "direct_convolve",
     "fft_convolve",
     "Mode",

@@ -4,7 +4,12 @@ from neojax.dist.mesh import channel_sharding, make_mesh
 from neojax.dist.pipeline import PipelineConvolver
 from neojax.dist.multihost import StreamDriver, init_distributed
 from neojax.dist.sharded import shard_params, shard_state, sharded_process
-from neojax.dist.sharded_chunked import shard_chunked_state, sharded_process_chunked
+from neojax.dist.sharded_chunked import (
+    shard_chunked_state,
+    shard_nested_state,
+    sharded_process_chunked,
+    sharded_process_nested,
+)
 
 __all__ = [
     "make_mesh",
@@ -14,6 +19,8 @@ __all__ = [
     "shard_state",
     "sharded_process",
     "sharded_process_chunked",
+    "shard_nested_state",
+    "sharded_process_nested",
     "shard_chunked_state",
     "StreamDriver",
     "init_distributed",

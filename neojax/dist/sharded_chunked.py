@@ -16,10 +16,15 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from neojax.conv import chunked
+from neojax.conv import chunked, nested
 from neojax.conv.convolver import PartitionedConfig
 
-__all__ = ["shard_chunked_state", "sharded_process_chunked"]
+__all__ = [
+    "shard_chunked_state",
+    "sharded_process_chunked",
+    "shard_nested_state",
+    "sharded_process_nested",
+]
 
 
 def _named(mesh, *spec):
@@ -54,3 +59,45 @@ def sharded_process_chunked(
     params = jax.tree.map(lambda v: jax.device_put(v, _named(mesh)), params)
     state = shard_chunked_state(state, mesh)
     return _process(config, params, state, signal, chunk_blocks)
+
+
+def shard_nested_state(state: dict, mesh: Mesh) -> dict:
+    """Channel axis is dim 1 of prev [2,C,K,S], dim 2 of fdl [2,P2,C,K,2S]."""
+    out = {
+        "tail": jax.device_put(state["tail"], _named(mesh, "ch", None)),
+        "prev": jax.device_put(state["prev"], _named(mesh, None, "ch", None, None)),
+        "fdl": jax.device_put(
+            state["fdl"], _named(mesh, None, None, "ch", None, None)
+        ),
+        "pos": jax.device_put(state["pos"], _named(mesh)),
+    }
+    if "scales" in state:
+        out["scales"] = jax.device_put(
+            state["scales"], _named(mesh, None, "ch", None)
+        )
+    return out
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _process_nested(config, params, state, signal):
+    return nested.process_nested(config, params, state, signal)
+
+
+def sharded_process_nested(
+    config: PartitionedConfig,
+    params: dict,
+    state: dict,
+    signal,
+    mesh: Mesh,
+):
+    """Channel-sharded ``process_nested``.
+
+    Shared filters are replicated; per-channel filters shard their channel
+    axis (dim 1 of [P2, C, K, 2S]) so filter reads stay shard-local too.
+    """
+    signal = jax.device_put(jnp.asarray(signal, jnp.float32), _named(mesh, "ch", None))
+    per_channel = params["filt_re"].shape[1] > 1
+    fspec = _named(mesh, None, "ch", None, None) if per_channel else _named(mesh)
+    params = {k: jax.device_put(v, fspec) for k, v in params.items()}
+    state = shard_nested_state(state, mesh)
+    return _process_nested(config, params, state, signal)

@@ -80,3 +80,28 @@ def test_sharded_chunked_matches_single_device(make_noise):
     cstate2 = chunked.chunked_init_state(cfg, cparams)
     _, out = sharded_process_chunked(cfg, cparams, cstate2, sig, mesh, 4)
     assert np.max(np.abs(np.asarray(out) - np.asarray(ref))) < 1e-6
+
+
+def test_sharded_nested_matches_single_device(make_noise):
+    import jax.numpy as jnp
+
+    from neojax.conv import nested
+    from neojax.dist.sharded_chunked import sharded_process_nested
+    from neojax import conv, dist
+
+    b = 64
+    p = 8
+    channels = 8
+    ir = make_noise(channels, p * b) * 0.2  # per-channel filters
+    sig = make_noise(channels, 8 * b)
+    parts = conv.uniform_partition(ir, b)
+
+    cfg = conv.PartitionedConfig(b, p, channels=channels, storage="split")
+    nparams = nested.nested_filter_params(cfg, parts, 4)
+    nstate = nested.nested_init_state(cfg, nparams)
+    _, ref = nested.process_nested(cfg, nparams, nstate, jnp.asarray(sig))
+
+    mesh = dist.make_mesh(ch=4)
+    nstate2 = nested.nested_init_state(cfg, nparams)
+    _, out = sharded_process_nested(cfg, nparams, nstate2, sig, mesh)
+    assert np.max(np.abs(np.asarray(out) - np.asarray(ref))) < 1e-6
