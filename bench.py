@@ -14,7 +14,10 @@ Engines benchmarked (details to stderr):
     Storage ladder (measured SNR vs f64 oracle on this config):
     int8 42 dB, bf16 51 dB, int16 87 dB, split f32 exact (1e-5).
   - chunked:  Toeplitz-MXU multi-block mode (same math, batched matmul)
-  - perblock: single-block streaming step (real-time path)
+  - hybrid:   two-stage (Gardner-style) scheduling — per-block head over the
+    first S partitions + nested tail once per chunk: TRUE single-block
+    (512-sample) latency at near-throughput speed (the real-time path)
+  - perblock: uniform single-block streaming step (real-time baseline)
 
 Throughput engines stream ~150 s of audio so the metric reflects
 steady state: this remote-tunnel runtime adds ~28 ms of fixed dispatch +
@@ -114,6 +117,24 @@ def bench_nested(storage="bf16", s=128, mult=16):
     return CHANNELS * nb * BLOCK / dt, dt, nb
 
 
+def bench_hybrid(storage="bf16", s=64, mult=4):
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from neojax.conv import hybrid
+    from neojax.conv import convolver as cv
+
+    cfg = cv.PartitionedConfig(BLOCK, P_REAL, CHANNELS, storage=storage)
+    parts = _make_parts(P_REAL, cfg.num_bins)
+    params = hybrid.hybrid_filter_params(cfg, parts, s)
+    state = hybrid.hybrid_init_state(cfg, params)
+    nb = (P_REAL - (P_REAL % s)) * mult
+    sig = jnp.asarray(_signal(nb))
+    proc = jax.jit(partial(hybrid.process_hybrid, cfg), donate_argnums=(1,))
+    dt = _time(proc, params, state, sig)
+    return CHANNELS * nb * BLOCK / dt, dt, nb
+
+
 def bench_perblock(storage, mac):
     jax = _setup_jax()
     import jax.numpy as jnp
@@ -161,6 +182,8 @@ def main():
         record("nested/bf16/S128", partial(bench_nested, "bf16", 128))
         record("nested/int16/S128", partial(bench_nested, "int16", 128))
         record("chunked/bf16/S128", partial(bench_chunked, "bf16", 128))
+        record("hybrid/bf16/S64", partial(bench_hybrid, "bf16", 64))
+        record("hybrid/int8/S64", partial(bench_hybrid, "int8", 64))
         record("perblock/bf16/pallas", partial(bench_perblock, "bf16", "pallas"))
     else:
         record("perblock/dense/xla", partial(bench_perblock, "dense", "xla"))

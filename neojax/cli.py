@@ -27,10 +27,11 @@ def main(argv=None) -> int:
     ap.add_argument("--block", type=int, default=4096)
     ap.add_argument(
         "--engine", default="upols",
-        choices=["upols", "upola", "chunked", "nested"],
+        choices=["upols", "upola", "chunked", "nested", "hybrid"],
         help="chunked = Toeplitz-MXU throughput mode; nested = two-level-FDL "
-        "throughput mode (fastest; per-channel capable). Both are offline "
-        "paths with S-block latency.",
+        "throughput mode (fastest; per-channel capable) — both offline with "
+        "S-block latency; hybrid = two-stage real-time mode (single-block "
+        "latency at near-throughput speed).",
     )
     ap.add_argument("--chunk-blocks", type=int, default=32)
     ap.add_argument(
@@ -79,7 +80,7 @@ def main(argv=None) -> int:
         print(f"perceptual mask: {density * 100:.1f}% bins kept")
 
     t0 = time.perf_counter()
-    if args.engine in ("chunked", "nested"):
+    if args.engine in ("chunked", "nested", "hybrid"):
         import jax
         from neojax.conv.convolver import PartitionedConfig
 
@@ -91,7 +92,15 @@ def main(argv=None) -> int:
         cfg = PartitionedConfig(
             args.block, parts.shape[1], channels=sig.shape[0], storage=storage
         )
-        if args.engine == "nested":
+        if args.engine == "hybrid":
+            from neojax.conv import hybrid
+
+            hparams = hybrid.hybrid_filter_params(
+                cfg, parts, args.chunk_blocks, mask=sparsity
+            )
+            hstate = hybrid.hybrid_init_state(cfg, hparams)
+            _, out = hybrid.process_hybrid(cfg, hparams, hstate, sig)
+        elif args.engine == "nested":
             from neojax.conv import nested
 
             nparams = nested.nested_filter_params(

@@ -22,6 +22,11 @@ from neojax.conv.chunked import (
     process_chunked,
 )
 from neojax.conv.direct import direct_convolve
+from neojax.conv.hybrid import (
+    hybrid_filter_params,
+    hybrid_init_state,
+    process_hybrid,
+)
 from neojax.conv.nested import (
     nested_filter_params,
     nested_init_state,
@@ -52,6 +57,9 @@ __all__ = [
     "chunked_filter_params",
     "chunked_init_state",
     "process_chunked",
+    "hybrid_filter_params",
+    "hybrid_init_state",
+    "process_hybrid",
     "nested_filter_params",
     "nested_init_state",
     "process_nested",

@@ -1,0 +1,104 @@
+"""Hybrid (two-stage) engine must match the uniform per-block schedule."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from neojax import conv
+from neojax.conv import hybrid
+
+
+@pytest.mark.parametrize("s", [4, 8])
+def test_hybrid_matches_blockwise(make_noise, s):
+    b = 64
+    p = 19  # not a multiple of s; tail padded with zero partitions
+    channels = 3
+    ir = make_noise(p * b) * 0.2
+    sig = make_noise(channels, 24 * b)
+    parts = conv.uniform_partition(ir, b)
+
+    cfg = conv.PartitionedConfig(b, p, channels=channels, storage="split")
+    params = conv.filter_params(cfg, parts)
+    state = conv.init_state(cfg)
+    _, ref = conv.process(cfg, params, state, sig)
+
+    hparams = hybrid.hybrid_filter_params(cfg, parts, s)
+    hstate = hybrid.hybrid_init_state(cfg, hparams)
+    _, out = hybrid.process_hybrid(cfg, hparams, hstate, jnp.asarray(sig))
+
+    assert np.max(np.abs(np.asarray(out) - np.asarray(ref))) < 1e-4
+
+
+def test_hybrid_per_channel_oracle(make_noise):
+    b = 128
+    p = 10
+    channels = 2
+    irs = make_noise(channels, p * b) * 0.1
+    sig = make_noise(channels, 16 * b)
+    parts = conv.uniform_partition(irs, b)
+
+    cfg = conv.PartitionedConfig(b, p, channels=channels, storage="split")
+    hparams = hybrid.hybrid_filter_params(cfg, parts, 4)
+    hstate = hybrid.hybrid_init_state(cfg, hparams)
+    _, out = hybrid.process_hybrid(cfg, hparams, hstate, jnp.asarray(sig))
+    out = np.asarray(out)
+
+    for ch in range(channels):
+        ref = np.convolve(np.asarray(sig)[ch], np.asarray(irs)[ch])[: out.shape[1]]
+        assert np.max(np.abs(out[ch] - ref)) < 1e-4
+
+
+def test_hybrid_short_filter_head_only(make_noise):
+    """P <= S: pure per-block head, no tail machinery in the state."""
+    b = 64
+    p = 3
+    ir = make_noise(p * b) * 0.2
+    sig = make_noise(1, 8 * b)
+    parts = conv.uniform_partition(ir, b)
+
+    cfg = conv.PartitionedConfig(b, p, channels=1, storage="split")
+    hparams = hybrid.hybrid_filter_params(cfg, parts, 4)
+    assert "tail" not in hparams
+    hstate = hybrid.hybrid_init_state(cfg, hparams)
+    assert "meta_fdl" not in hstate
+    _, out = hybrid.process_hybrid(cfg, hparams, hstate, jnp.asarray(sig))
+    ref = np.convolve(np.asarray(sig)[0], ir)[: out.shape[1]]
+    assert np.max(np.abs(np.asarray(out)[0] - ref)) < 1e-4
+
+
+def test_hybrid_state_carries_across_calls(make_noise):
+    b = 64
+    p = 16
+    s = 4
+    ir = make_noise(p * b) * 0.2
+    sig = make_noise(1, 24 * b)
+    parts = conv.uniform_partition(ir, b)
+    cfg = conv.PartitionedConfig(b, p, channels=1, storage="split")
+    hparams = hybrid.hybrid_filter_params(cfg, parts, s)
+
+    st = hybrid.hybrid_init_state(cfg, hparams)
+    _, full = hybrid.process_hybrid(cfg, hparams, st, jnp.asarray(sig))
+
+    st = hybrid.hybrid_init_state(cfg, hparams)
+    st, a = hybrid.process_hybrid(cfg, hparams, st, jnp.asarray(sig[:, : 12 * b]))
+    _, bb = hybrid.process_hybrid(cfg, hparams, st, jnp.asarray(sig[:, 12 * b :]))
+    got = np.concatenate([np.asarray(a), np.asarray(bb)], axis=-1)
+    assert np.max(np.abs(got - np.asarray(full))) < 1e-6
+
+
+@pytest.mark.parametrize("storage,tol", [("bf16", 5e-2), ("int16", 1e-2), ("int8", 1e-1)])
+def test_hybrid_reduced_precision(make_noise, storage, tol):
+    b = 64
+    p = 16
+    ir = make_noise(p * b) * 0.2
+    sig = make_noise(2, 16 * b)
+    parts = conv.uniform_partition(ir, b)
+
+    cfg = conv.PartitionedConfig(b, p, channels=2, storage=storage)
+    hparams = hybrid.hybrid_filter_params(cfg, parts, 4)
+    hstate = hybrid.hybrid_init_state(cfg, hparams)
+    _, out = hybrid.process_hybrid(cfg, hparams, hstate, jnp.asarray(sig))
+    out = np.asarray(out)
+    for ch in range(2):
+        ref = np.convolve(np.asarray(sig)[ch], ir)[: out.shape[1]]
+        assert np.max(np.abs(out[ch] - ref)) < tol
