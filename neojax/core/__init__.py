@@ -1,7 +1,7 @@
 """neojax.core — bit/sizing helpers, windows, units, split-complex layout."""
 
 from neojax.core import fixed_point
-from neojax.core.bits import bit_ceil, bit_log2, idiv, is_pow2, next_order
+from neojax.core.bits import bit_ceil, bit_log2, idiv, ipow, is_pow2, next_order
 from neojax.core.complexes import (
     from_split,
     split_conj,
@@ -17,6 +17,7 @@ from neojax.core.units import (
     hertz_to_mel,
     mel_frequencies,
     mel_to_hertz,
+    polar,
     rfftfreq,
 )
 from neojax.core.windows import (
@@ -31,8 +32,10 @@ __all__ = [
     "bit_ceil",
     "bit_log2",
     "idiv",
+    "ipow",
     "is_pow2",
     "next_order",
+    "polar",
     "to_split",
     "from_split",
     "split_mul",

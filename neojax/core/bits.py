@@ -39,3 +39,11 @@ def next_order(size: int) -> int:
 def idiv(x: int, y: int) -> int:
     """Ceiling integer division (reference ``neo::idiv``)."""
     return (x + y - 1) // y
+
+
+def ipow(base: int, exponent: int) -> int:
+    """Integer power (reference ``math/ipow.hpp``)."""
+    result = 1
+    for _ in range(exponent):
+        result *= base
+    return result

@@ -15,6 +15,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 __all__ = [
+    "polar",
     "fast_log2",
     "fast_log10",
     "amplitude_to_db",
@@ -116,3 +117,12 @@ def rfftfreq(n: int, d: float = 1.0, dtype=jnp.float32):
     is the numpy-compatible definition used throughout the framework.
     """
     return (jnp.arange(n // 2 + 1, dtype=dtype) / (n * d)).astype(dtype)
+
+
+def polar(magnitude, angle):
+    """Split-complex polar -> rectangular: (mag*cos(angle), mag*sin(angle)).
+
+    Reference ``math/polar.hpp`` returns std::complex; on TPU the native
+    form is the (re, im) plane pair.
+    """
+    return magnitude * jnp.cos(angle), magnitude * jnp.sin(angle)

@@ -85,3 +85,51 @@ def test_pipeline_streaming_resume(make_noise):
     _, second = pipe.process(filt, state, sig[:, 4 * b :])
     resumed = np.concatenate([np.asarray(first), np.asarray(second)], axis=-1)
     assert np.max(np.abs(resumed - np.asarray(full))) < 1e-6
+
+
+def test_bin_sharded_matches_oracle(make_noise):
+    """Model-parallel over spectrum width (SURVEY 2.7 "bin" axis): the only
+    collective is one psum of the time-domain block."""
+    import jax.numpy as jnp
+    from neojax import conv, dist
+
+    b = 64
+    p = 8
+    ch = 4
+    ir = make_noise(p * b) * 0.2
+    sig = make_noise(ch, 8 * b)
+    parts = conv.uniform_partition(ir, b)
+
+    mesh = dist.make_mesh(bin=4, ch=2)
+    cfg = conv.PartitionedConfig(b, p, channels=ch, storage="split")
+    bc = dist.BinShardedConvolver(cfg, mesh)
+    filt = bc.shard_filter(np.moveaxis(np.asarray(parts), 0, 1))
+    state = bc.init_state()
+    state, out = bc.process(filt, state, sig)
+    out = np.asarray(out)
+    for c in range(ch):
+        ref = np.convolve(np.asarray(sig)[c], ir)[: out.shape[1]]
+        assert np.max(np.abs(out[c] - ref)) < 1e-4
+
+
+def test_bin_sharded_resume(make_noise):
+    import jax.numpy as jnp
+    from neojax import conv, dist
+
+    b = 64
+    p = 8
+    ir = make_noise(p * b) * 0.2
+    sig = make_noise(2, 8 * b)
+    parts = conv.uniform_partition(ir, b)
+    mesh = dist.make_mesh(bin=8)
+    cfg = conv.PartitionedConfig(b, p, channels=2, storage="split")
+    bc = dist.BinShardedConvolver(cfg, mesh)
+    filt = bc.shard_filter(np.moveaxis(np.asarray(parts), 0, 1))
+
+    state = bc.init_state()
+    _, full = bc.process(filt, state, sig)
+    state = bc.init_state()
+    state, a = bc.process(filt, state, sig[:, : 4 * b])
+    _, bb = bc.process(filt, state, sig[:, 4 * b :])
+    got = np.concatenate([np.asarray(a), np.asarray(bb)], axis=-1)
+    assert np.max(np.abs(got - np.asarray(full))) < 1e-6

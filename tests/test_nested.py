@@ -2,6 +2,7 @@
 
 import numpy as np
 import pytest
+import jax
 import jax.numpy as jnp
 
 from neojax import conv
@@ -121,3 +122,32 @@ def test_nested_quantized_storage(make_noise, storage, tol):
         # compressed-FDL bounds assume unit-range data,
         # compressed_fdl_test.cpp:24-29)
         assert np.max(np.abs(out[ch] - ref)) < tol
+
+
+def test_nested_state_checkpoint_roundtrip(make_noise, tmp_path):
+    """The nested carry (incl. quantized scales) checkpoints exactly."""
+    from neojax import io
+
+    b = 64
+    p = 8
+    ir = make_noise(p * b) * 0.2
+    sig = make_noise(1, 8 * b)
+    parts = conv.uniform_partition(ir, b)
+    cfg = conv.PartitionedConfig(b, p, channels=1, storage="int16")
+    nparams = nested.nested_filter_params(cfg, parts, 4)
+    st = nested.nested_init_state(cfg, nparams)
+    st, _ = nested.process_nested(cfg, nparams, st, jnp.asarray(sig))
+
+    path = str(tmp_path / "nested_state.npz")
+    io.save_state(path, st)
+    restored = io.load_state(path)
+    for key in st:
+        assert np.array_equal(np.asarray(st[key]), np.asarray(restored[key])), key
+
+    # resuming from the restored state matches resuming from the live one
+    sig2 = make_noise(1, 4 * b)
+    _, a = nested.process_nested(cfg, nparams, st, jnp.asarray(sig2))
+    _, bb = nested.process_nested(
+        cfg, nparams, jax.tree.map(jnp.asarray, restored), jnp.asarray(sig2)
+    )
+    assert np.max(np.abs(np.asarray(a) - np.asarray(bb))) == 0.0
