@@ -171,14 +171,14 @@ def _fft_precisions(config: PartitionedConfig):
     """(forward, inverse) MXU precision for the block transforms.
 
     "split" (f32) keeps HIGHEST (6-pass bf16 = true f32; the 1e-5 parity
-    bound). "bf16" stores the spectra in bf16 anyway — its error floor is
-    the storage (measured 52.6 dB SNR on the 10 s-IR config with either
-    setting), so its transforms run HIGH (3-pass): ~10% faster end-to-end
-    with no measurable SNR cost. DEFAULT (1-pass) would trade 4 dB for
-    another ~5% — not taken.
+    bound). "bf16" is the balanced speed mode: once the engine's copies
+    were eliminated the transforms dominate, and DEFAULT (1-pass bf16)
+    buys ~33% end-to-end for a measured 51.2 -> 46.6 dB SNR on the
+    10 s-IR config — the storage ladder stays monotone (int16 87 dB >
+    bf16 46.6 > int8 40.5).
     """
     if config.storage == "bf16":
-        return (lax.Precision.HIGH, lax.Precision.HIGH)
+        return (lax.Precision.DEFAULT, lax.Precision.DEFAULT)
     return (lax.Precision.HIGHEST, lax.Precision.HIGHEST)
 
 
