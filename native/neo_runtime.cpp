@@ -10,6 +10,7 @@
 // Build: make -C native   (produces libneo_runtime.so)
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <cmath>
@@ -245,6 +246,69 @@ void neo_reblocker_pop(void* h, float* out, int32_t n) {
     }
   }
   r->out_count += n;
+}
+
+// ------------------------------------------------- lock-free SPSC ring
+
+// Single-producer single-consumer float ring buffer: the host-side
+// real-time transport between an audio callback and the compute worker
+// (the runtime role a C++ engine would play around the TPU stream; no
+// locks, two atomic cursors, power-of-2 capacity).
+struct neo_ring {
+  std::vector<float> buf;
+  uint64_t mask;
+  std::atomic<uint64_t> head{0};  // written by producer
+  std::atomic<uint64_t> tail{0};  // written by consumer
+};
+
+neo_ring* neo_ring_new(int64_t min_capacity) {
+  uint64_t cap = 1;
+  while (cap < static_cast<uint64_t>(min_capacity)) cap <<= 1;
+  auto* r = new neo_ring();
+  r->buf.assign(cap, 0.0f);
+  r->mask = cap - 1;
+  return r;
+}
+
+void neo_ring_free(neo_ring* r) { delete r; }
+
+int64_t neo_ring_capacity(const neo_ring* r) {
+  return static_cast<int64_t>(r->mask + 1);
+}
+
+int64_t neo_ring_readable(const neo_ring* r) {
+  return static_cast<int64_t>(r->head.load(std::memory_order_acquire) -
+                              r->tail.load(std::memory_order_acquire));
+}
+
+int64_t neo_ring_writable(const neo_ring* r) {
+  return static_cast<int64_t>(r->mask + 1) - neo_ring_readable(r);
+}
+
+// Returns samples actually written (may be < n when full).
+int64_t neo_ring_write(neo_ring* r, const float* data, int64_t n) {
+  const uint64_t head = r->head.load(std::memory_order_relaxed);
+  const uint64_t tail = r->tail.load(std::memory_order_acquire);
+  const uint64_t space = (r->mask + 1) - (head - tail);
+  const uint64_t todo = std::min<uint64_t>(n, space);
+  for (uint64_t i = 0; i < todo; ++i) {
+    r->buf[(head + i) & r->mask] = data[i];
+  }
+  r->head.store(head + todo, std::memory_order_release);
+  return static_cast<int64_t>(todo);
+}
+
+// Returns samples actually read (may be < n when empty).
+int64_t neo_ring_read(neo_ring* r, float* out, int64_t n) {
+  const uint64_t tail = r->tail.load(std::memory_order_relaxed);
+  const uint64_t head = r->head.load(std::memory_order_acquire);
+  const uint64_t avail = head - tail;
+  const uint64_t todo = std::min<uint64_t>(n, avail);
+  for (uint64_t i = 0; i < todo; ++i) {
+    out[i] = r->buf[(tail + i) & r->mask];
+  }
+  r->tail.store(tail + todo, std::memory_order_release);
+  return static_cast<int64_t>(todo);
 }
 
 }  // extern "C"

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 from neojax.fft import api as fft_api
 from neojax.fft import matmul_backend
 
-__all__ = ["rfft_deinterleave", "split_fft", "split_ifft"]
+__all__ = ["rfft_deinterleave", "split_fft", "split_ifft", "packed_rfft", "packed_irfft"]
 
 
 def rfft_deinterleave(x, y, n: int | None = None, backend: str | None = None):
@@ -49,3 +49,77 @@ def split_ifft(re, im, n: int | None = None):
     n = int(n if n is not None else re.shape[-1])
     our, oui = matmul_backend.fft_split(re, im, n, inverse=True)
     return our / n, oui / n
+
+
+def _pack_twiddles(half: int):
+    import numpy as np
+
+    k = np.arange(half + 1)
+    ang = -np.pi * k / half  # e^{-2 pi i k / (2*half)}
+    return jnp.asarray(np.cos(ang), jnp.float32), jnp.asarray(
+        np.sin(ang), jnp.float32
+    )
+
+
+def packed_rfft(x, n: int | None = None):
+    """True half-size-packed real FFT (reference ``fft/experimental/rfft.hpp:20``).
+
+    Treats the 2N real inputs as N complex samples, runs one N-point C2C
+    FFT, and reconstructs the N+1 real-spectrum bins with a post-twiddle —
+    half the transform work of the conjugate-symmetry fallback. Returns
+    split planes (re, im), each [..., n//2+1]; unnormalized forward,
+    matching ``numpy.fft.rfft``.
+    """
+    x = jnp.asarray(x, jnp.float32)
+    if n is None:
+        n = x.shape[-1]
+    if n % 2:
+        raise ValueError("packed rfft requires an even size")
+    if x.shape[-1] != n:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, max(0, n - x.shape[-1]))]
+        x = jnp.pad(x[..., :n], pad)
+    half = n // 2
+    ze = x[..., 0::2]
+    zo = x[..., 1::2]
+    zre, zim = split_fft(ze, zo, half)  # FFT of z = even + i*odd
+
+    # Extend to k = 0..half via Z[half] = Z[0] (periodicity), then combine:
+    # X[k] = (Z[k] + conj(Z[half-k]))/2 - i/2 * w^k * (Z[k] - conj(Z[half-k]))
+    zre_e = jnp.concatenate([zre, zre[..., :1]], axis=-1)
+    zim_e = jnp.concatenate([zim, zim[..., :1]], axis=-1)
+    rre = zre_e[..., ::-1]
+    rim = zim_e[..., ::-1]
+    are = 0.5 * (zre_e + rre)
+    aim = 0.5 * (zim_e - rim)
+    bre = 0.5 * (zre_e - rre)
+    bim = 0.5 * (zim_e + rim)
+    wre, wim = _pack_twiddles(half)
+    # -i * w * b  = (-i)(wre + i wim)(bre + i bim)
+    tre = wre * bim + wim * bre
+    tim = wim * bim - wre * bre
+    return are + tre, aim + tim
+
+
+def packed_irfft(re, im, n: int | None = None):
+    """Inverse of ``packed_rfft``: N+1 spectrum bins -> 2N reals, normalized
+    (1/N overall, numpy-style)."""
+    re = jnp.asarray(re, jnp.float32)
+    im = jnp.asarray(im, jnp.float32)
+    if n is None:
+        n = 2 * (re.shape[-1] - 1)
+    half = n // 2
+    wre, wim = _pack_twiddles(half)
+    # undo the post-twiddle: A = (X + conj(X~))/2, B = w^{-k} * i/2 * (X - conj(X~))
+    xr_r = re[..., ::-1]
+    xi_r = im[..., ::-1]
+    are = 0.5 * (re + xr_r)
+    aim = 0.5 * (im - xi_r)
+    dre = 0.5 * (re - xr_r)
+    dim = 0.5 * (im + xi_r)
+    # i * conj(w) * d = i (wre - i wim)(dre + i dim)
+    tre = -(wre * dim - wim * dre)
+    tim = wre * dre + wim * dim
+    zre = (are + tre)[..., :half]
+    zim = (aim + tim)[..., :half]
+    yre, yim = split_ifft(zre, zim, half)  # normalized (1/half) inverse
+    return jnp.stack([yre, yim], axis=-1).reshape(yre.shape[:-1] + (n,))

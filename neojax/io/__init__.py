@@ -6,11 +6,13 @@ from neojax.io.checkpoint import (
     save_state,
     save_state_orbax,
 )
+from neojax.io.executor import StreamExecutor
 from neojax.io.wav import read_wav, write_wav
 
 __all__ = [
     "read_wav",
     "write_wav",
+    "StreamExecutor",
     "save_state",
     "load_state",
     "save_state_orbax",

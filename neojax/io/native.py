@@ -16,7 +16,7 @@ import subprocess
 
 import numpy as np
 
-__all__ = ["load_runtime", "native_read_wav", "native_write_wav", "Reblocker"]
+__all__ = ["load_runtime", "native_read_wav", "native_write_wav", "Reblocker", "Ring"]
 
 _LIB_PATH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
@@ -69,6 +69,19 @@ def load_runtime(build: bool = True):
     lib.neo_reblocker_pop_frame.argtypes = [ctypes.c_void_p, f32p]
     lib.neo_reblocker_push_processed.argtypes = [ctypes.c_void_p, f32p]
     lib.neo_reblocker_pop.argtypes = [ctypes.c_void_p, f32p, ctypes.c_int32]
+    lib.neo_ring_new.restype = ctypes.c_void_p
+    lib.neo_ring_new.argtypes = [ctypes.c_int64]
+    lib.neo_ring_free.argtypes = [ctypes.c_void_p]
+    lib.neo_ring_capacity.restype = ctypes.c_int64
+    lib.neo_ring_capacity.argtypes = [ctypes.c_void_p]
+    lib.neo_ring_readable.restype = ctypes.c_int64
+    lib.neo_ring_readable.argtypes = [ctypes.c_void_p]
+    lib.neo_ring_writable.restype = ctypes.c_int64
+    lib.neo_ring_writable.argtypes = [ctypes.c_void_p]
+    lib.neo_ring_write.restype = ctypes.c_int64
+    lib.neo_ring_write.argtypes = [ctypes.c_void_p, f32p, ctypes.c_int64]
+    lib.neo_ring_read.restype = ctypes.c_int64
+    lib.neo_ring_read.argtypes = [ctypes.c_void_p, f32p, ctypes.c_int64]
     return lib
 
 
@@ -163,3 +176,46 @@ class Reblocker:
         if getattr(self, "_h", None) and self._lib is not None:
             self._lib.neo_reblocker_free(self._h)
             self._h = None
+
+
+class Ring:
+    """Native lock-free SPSC float ring buffer (audio-callback <-> compute
+    worker transport; C++ ``neo_ring``)."""
+
+    def __init__(self, min_capacity: int):
+        self._lib = load_runtime()
+        if self._lib is None:
+            raise RuntimeError("native runtime not available (make -C native)")
+        self._h = self._lib.neo_ring_new(int(min_capacity))
+
+    def __del__(self):
+        lib = getattr(self, "_lib", None)
+        h = getattr(self, "_h", None)
+        if lib is not None and h:
+            lib.neo_ring_free(h)
+            self._h = None
+
+    @property
+    def capacity(self) -> int:
+        return self._lib.neo_ring_capacity(self._h)
+
+    @property
+    def readable(self) -> int:
+        return self._lib.neo_ring_readable(self._h)
+
+    @property
+    def writable(self) -> int:
+        return self._lib.neo_ring_writable(self._h)
+
+    def write(self, data: "np.ndarray") -> int:
+        data = np.ascontiguousarray(data, np.float32).ravel()
+        return self._lib.neo_ring_write(
+            self._h, data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), data.size
+        )
+
+    def read(self, n: int) -> "np.ndarray":
+        out = np.empty(int(n), np.float32)
+        got = self._lib.neo_ring_read(
+            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), int(n)
+        )
+        return out[:got]

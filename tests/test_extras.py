@@ -135,3 +135,25 @@ def test_measure_counters():
     assert r.items_per_sec > 0
     assert "x2" in str(r)
     assert bench.fft_flops(1024) == int(5 * 1024 * 10)
+
+
+def test_packed_rfft_matches_numpy(make_noise):
+    """Half-size-packed real FFT (reference fft/experimental/rfft.hpp:20)."""
+    from neojax import fft as nfft
+
+    for n in (8, 64, 256):
+        x = np.asarray(make_noise(3, n), np.float32)
+        re, im = nfft.packed_rfft(x)
+        ref = np.fft.rfft(x, axis=-1)
+        assert np.max(np.abs(np.asarray(re) - ref.real)) < 1e-4
+        assert np.max(np.abs(np.asarray(im) - ref.imag)) < 1e-4
+        back = nfft.packed_irfft(re, im)
+        assert np.max(np.abs(np.asarray(back) - x)) < 1e-5
+
+
+def test_packed_rfft_odd_size_rejected():
+    from neojax import fft as nfft
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        nfft.packed_rfft(np.zeros(7, np.float32))

@@ -74,3 +74,68 @@ def test_reblocker_with_convolver(make_noise):
     ref = np.convolve(x[0], ir)[: out.shape[1] - b]
     got = out[0, b:]  # compensate one frame of latency
     assert np.abs(got - ref[: got.shape[0]]).max() < 1e-4
+
+
+def test_native_ring_spsc():
+    from neojax.io.native import load_runtime, Ring
+
+    if load_runtime() is None:
+        pytest.skip("native runtime not built")
+    r = Ring(64)
+    assert r.capacity >= 64
+    assert r.readable == 0
+    data = np.arange(10, dtype=np.float32)
+    assert r.write(data) == 10
+    assert r.readable == 10
+    out = r.read(6)
+    assert np.array_equal(out, data[:6])
+    assert r.readable == 4
+    # wraparound
+    big = np.arange(r.capacity - 2, dtype=np.float32)
+    wrote = r.write(big)
+    assert wrote == min(big.size, r.writable + wrote)
+    rest = r.read(r.readable)
+    assert np.array_equal(rest[:4], data[6:])
+
+
+def test_stream_executor_matches_offline(make_noise):
+    import jax
+    from functools import partial
+    from neojax import conv
+    from neojax.io.native import load_runtime
+    from neojax.io import StreamExecutor
+
+    if load_runtime() is None:
+        pytest.skip("native runtime not built")
+
+    b = 64
+    p = 6
+    ch = 2
+    ir = make_noise(p * b) * 0.2
+    sig = np.asarray(make_noise(ch, 12 * b), np.float32)
+    parts = conv.uniform_partition(ir, b)
+    cfg = conv.PartitionedConfig(b, p, channels=ch, storage="split")
+    params = conv.filter_params(cfg, parts)
+
+    _, ref = conv.process(cfg, params, conv.init_state(cfg), sig)
+
+    step = jax.jit(partial(conv.step, cfg, params))
+    with StreamExecutor(step, conv.init_state(cfg), ch, b) as ex:
+        got = []
+        pos = 0
+        # producer pushes odd-sized chunks; consumer polls
+        chunk = 100
+        import time
+        deadline = time.time() + 30
+        while sum(g.shape[1] for g in got) < sig.shape[1]:
+            if pos < sig.shape[1]:
+                take = min(chunk, sig.shape[1] - pos)
+                accepted = ex.push(sig[:, pos : pos + take])
+                pos += accepted
+            out = ex.pull(256)
+            if out.shape[1]:
+                got.append(out)
+            assert time.time() < deadline, "executor stalled"
+    out = np.concatenate(got, axis=1)
+    assert out.shape == sig.shape
+    assert np.max(np.abs(out - np.asarray(ref))) < 1e-5
