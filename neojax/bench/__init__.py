@@ -13,6 +13,7 @@ from neojax.bench.quality import (
     max_channel_rms_error,
     sparse_quality_sweep,
 )
+from neojax.bench.scaling import ScalingPoint, weak_scaling_sweep
 from neojax.bench.spectrum import db_histogram, power_spectrum_image
 
 __all__ = [
@@ -22,6 +23,8 @@ __all__ = [
     "hbm_peak_bytes_per_sec",
     "memcpy_probe",
     "multiply_add_probe",
+    "ScalingPoint",
+    "weak_scaling_sweep",
     "QualityPoint",
     "max_channel_rms_error",
     "sparse_quality_sweep",

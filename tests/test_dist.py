@@ -133,3 +133,25 @@ def test_bin_sharded_resume(make_noise):
     _, bb = bc.process(filt, state, sig[:, 4 * b :])
     got = np.concatenate([np.asarray(a), np.asarray(bb)], axis=-1)
     assert np.max(np.abs(got - np.asarray(full))) < 1e-6
+
+
+def test_weak_scaling_sweep_structure():
+    """Structure check on the CPU mesh (wall-clock is not the metric here:
+    the efficiency field just has to be populated and the math coherent)."""
+    from neojax import bench
+
+    points = bench.weak_scaling_sweep(
+        device_counts=[1, 2, 4],
+        channels_per_device=2,
+        block_size=64,
+        num_partitions=8,
+        chunk_blocks=4,
+        seconds=0.05,
+        storage="split",
+    )
+    assert [p.devices for p in points] == [1, 2, 4]
+    assert [p.channels for p in points] == [2, 4, 8]
+    assert points[0].efficiency == 1.0
+    for p in points:
+        assert p.samples_per_sec > 0
+        assert abs(p.per_device - p.samples_per_sec / p.devices) < 1e-6
