@@ -11,8 +11,9 @@ Prints ONE JSON line to stdout:
 Engines benchmarked (details to stderr):
   - nested:   two-level FDL mode (S=128 blocks/step; meta-FFT along the
     frame axis, elementwise partition MAC) — the throughput path.
-    Storage ladder (measured SNR vs f64 oracle on this config):
-    int8 42 dB, bf16 51 dB, int16 87 dB, split f32 exact (1e-5).
+    Storage ladder (measured SNR vs f64 oracle on this config, with the
+    storage-matched transform precision): int8 40.5 dB, bf16 46.6 dB,
+    int16 87 dB, split f32 exact (1e-5).
   - chunked:  Toeplitz-MXU multi-block mode (same math, batched matmul)
   - hybrid:   two-stage (Gardner-style) scheduling — per-block head over the
     first S partitions + nested tail once per chunk: TRUE single-block

@@ -262,6 +262,7 @@ struct neo_ring {
 };
 
 neo_ring* neo_ring_new(int64_t min_capacity) {
+  if (min_capacity <= 0) return nullptr;
   uint64_t cap = 1;
   while (cap < static_cast<uint64_t>(min_capacity)) cap <<= 1;
   auto* r = new neo_ring();

@@ -10,9 +10,11 @@ Weak scaling is the natural audio axis (channels grow with devices:
 every chip serves its own channel block and there are zero collectives in
 the channel-sharded engine), so efficiency is defined as
 
-    eff(N) = (samples/s at N devices) / (N * samples/s at 1 device)
+    eff(N) = per-device samples/s at N devices
+             / per-device samples/s at the smallest measured mesh
 
-with the per-device channel count held fixed.
+with the per-device channel count held fixed (with the default
+device_counts starting at 1, this is exactly the 1 -> N definition).
 """
 
 from __future__ import annotations
@@ -75,7 +77,7 @@ def weak_scaling_sweep(
     ir = rng.uniform(-1, 1, (1, num_partitions * block_size)).astype(np.float32) * 0.05
 
     points: list[ScalingPoint] = []
-    base = None
+    base_per_device = None
     for d in device_counts:
         ch = channels_per_device * d
         config = cv.PartitionedConfig(
@@ -91,15 +93,15 @@ def weak_scaling_sweep(
         )
         mesh = dist.make_mesh(ch=d, devices=jax.devices()[:d])
         sps = _run_once(config, params, state, sig, mesh)
-        if base is None:
-            base = sps
+        if base_per_device is None:
+            base_per_device = sps / d
         points.append(
             ScalingPoint(
                 devices=d,
                 channels=ch,
                 samples_per_sec=sps,
                 per_device=sps / d,
-                efficiency=sps / (base * d),
+                efficiency=(sps / d) / base_per_device,
             )
         )
     return points

@@ -6,7 +6,7 @@ result.
 
 Usage:
     python -m neojax.cli signal.wav impulse.wav out.wav \
-        [--block 4096] [--engine upols|upola|chunked|nested] \
+        [--block 4096] [--engine upols|upola|chunked|nested|hybrid] \
         [--storage dense|split|bf16|int16|int8] [--threshold-db DB]
 """
 

@@ -31,7 +31,6 @@ like ``conv.nested``). Shared and per-channel filters both supported.
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -113,18 +112,15 @@ def hybrid_init_state(config: PartitionedConfig, params: dict) -> dict:
         "head_pos": jnp.zeros((), jnp.int32),
     }
     if "tail" in params:
-        import dataclasses
-
-        tail_config = dataclasses.replace(config)
-        tstate = nested_lib.nested_init_state(tail_config, params["tail"])
-        # the nested "prev"/block-tail bookkeeping is owned by the head here;
-        # keep only the meta ring + pos (+ scales), plus the precomputed
-        # tail frames for the *current* chunk.
-        state["meta_fdl"] = tstate["fdl"]
-        state["meta_pos"] = tstate["pos"]
-        if "scales" in tstate:
-            state["meta_scales"] = tstate["scales"]
-        prev_dtype = tstate["prev"].dtype
+        # only the meta ring (+ pos/scales) of the nested engine is needed:
+        # the block-tail / prev-spectra bookkeeping is owned by the head.
+        p2t, s_t, _ = nested_lib._static_dims(params["tail"])
+        dtype = nested_lib._storage_dtype(config)
+        state["meta_fdl"] = jnp.zeros((2, p2t, c, k, 2 * s_t), dtype)
+        state["meta_pos"] = jnp.zeros((), jnp.int32)
+        if config.storage in ("int8", "int16"):
+            state["meta_scales"] = jnp.ones((p2t, c, k), jnp.float32)
+        prev_dtype = jnp.bfloat16 if config.storage == "bf16" else jnp.float32
         state["prev_spec"] = jnp.zeros((2, c, k, s), prev_dtype)
         state["tail_frames"] = jnp.zeros((2, c, k, s), jnp.float32)
     return state
@@ -147,7 +143,6 @@ def process_hybrid(
     s = params["head_re"].shape[0] // 2
     has_tail = "tail" in params
     quant = config.storage in ("int8", "int16")
-    head_quant = isinstance(state["head_fdl"], tuple)
     imax = int_max_for(fdl_lib.STORAGE_DTYPES[config.storage]) if quant else None
     fwd_prec, inv_prec = _fft_precisions(config)
 
@@ -184,10 +179,9 @@ def process_hybrid(
 
         y = matmul_backend.irfft_split(acc_re, acc_im, n, inv_prec)
         out = y[..., b:]
-        return (block, hfdl, (hpos + 1) % s, tail_frames, r + 1), (
-            out,
-            jnp.stack([sre, sim]),
-        )
+        # head-only configs never read the spectra; skip the dead stores
+        ys = (out, jnp.stack([sre, sim])) if has_tail else out
+        return (block, hfdl, (hpos + 1) % s, tail_frames, r + 1), ys
 
     def chunk_step(carry, chunk):  # chunk [S, C, B]
         btail, hfdl, hpos, mstate = carry
@@ -195,12 +189,14 @@ def process_hybrid(
             (2, c, k, 0), jnp.float32
         )
 
-        (btail, hfdl, hpos, _, _), (outs, specs) = lax.scan(
-            block_step,
-            (btail, hfdl, hpos, tail_frames, jnp.zeros((), jnp.int32)),
-            chunk,
-        )
-        # specs: [S, 2, C, K] block spectra of this chunk
+        carry_in = (btail, hfdl, hpos, tail_frames, jnp.zeros((), jnp.int32))
+        if has_tail:
+            (btail, hfdl, hpos, _, _), (outs, specs) = lax.scan(
+                block_step, carry_in, chunk
+            )
+            # specs: [S, 2, C, K] block spectra of this chunk
+        else:
+            (btail, hfdl, hpos, _, _), outs = lax.scan(block_step, carry_in, chunk)
 
         new_mstate = mstate
         if has_tail:

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from neojax.conv.convolver import PartitionedConfig
+from neojax.conv.convolver import PartitionedConfig, _np_tile_reverse
 from neojax.conv.overlap import stream_blocks, unstream_blocks
 from neojax.fft import matmul_backend
 
@@ -87,8 +87,9 @@ class BinShardedConvolver:
         }
 
     def shard_filter(self, filt) -> tuple:
-        """[P, C|1, K] complex (host) -> tile-reversed split planes sharded
-        over "bin" (padded to k_pad)."""
+        """[P, C|1, K] complex (host; same layout as PipelineConvolver's
+        shard_filter) -> tile-reversed split planes sharded over "bin"
+        (padded to k_pad)."""
         cfg = self.config
         filt = np.asarray(filt, np.complex64)
         p, cf, k = filt.shape
@@ -97,9 +98,7 @@ class BinShardedConvolver:
         if cf == 1 and cfg.channels > 1:
             filt = np.broadcast_to(filt, (p, cfg.channels, k))
         pad = np.zeros((p, filt.shape[1], self.k_pad - k), np.complex64)
-        filt = np.concatenate([filt, pad], axis=2)
-        rev = filt[::-1]
-        tiled = np.concatenate([rev, rev], axis=0)  # [2P, C, Kp]
+        tiled = _np_tile_reverse(np.concatenate([filt, pad], axis=2))  # [2P, C, Kp]
         planes = np.stack([tiled.real, tiled.imag]).astype(np.float32)
         ch = "ch" if self.d_ch > 1 else None
         return jax.device_put(

@@ -42,7 +42,6 @@ class StreamExecutor:
         self._in = Ring(cap)
         self._out = Ring(cap)
         self._stop = threading.Event()
-        self._flushed = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -97,7 +96,11 @@ class StreamExecutor:
                 # spin until the consumer makes room (bounded stream)
                 while self._out.writable < frame and not self._stop.is_set():
                     self._stop.wait(0.0005)
-                self._out.write(np.ascontiguousarray(out.T).ravel())
+                # never write a partial frame: a torn write would desync the
+                # channel interleaving for the rest of the stream. On close()
+                # with a full ring the frame is dropped instead.
+                if self._out.writable >= frame:
+                    self._out.write(np.ascontiguousarray(out.T).ravel())
             elif self._stop.is_set():
                 return
             else:

@@ -183,10 +183,14 @@ class Ring:
     worker transport; C++ ``neo_ring``)."""
 
     def __init__(self, min_capacity: int):
+        if min_capacity <= 0:
+            raise ValueError(f"ring capacity must be positive, got {min_capacity}")
         self._lib = load_runtime()
         if self._lib is None:
             raise RuntimeError("native runtime not available (make -C native)")
         self._h = self._lib.neo_ring_new(int(min_capacity))
+        if not self._h:
+            raise RuntimeError("native ring allocation failed")
 
     def __del__(self):
         lib = getattr(self, "_lib", None)
