@@ -24,6 +24,7 @@ from __future__ import annotations
 import functools
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -37,6 +38,48 @@ __all__ = [
     "fft_matrices",
     "fft_split",
 ]
+
+# Per-matrix byte cap for embedding host-built matrices as program literals.
+# Above this (when called under tracing, power-of-two size) the matrices are
+# generated in-trace instead: giant HLO literals bloat compile time and on
+# remote-compile TPU runtimes the serialized program is outright rejected
+# (HTTP 413) once the constants reach hundreds of MB. 4 MB keeps every hot
+# streaming-engine transform (N <= 1024 rfft) on the literal path.
+_LITERAL_MAX_BYTES = 4 << 20
+
+
+def _use_traced(n: int, rows: int, cols: int) -> bool:
+    if rows * cols * 4 <= _LITERAL_MAX_BYTES:
+        return False
+    if n & (n - 1) or n < 4:
+        return False  # quadrant reduction below needs power-of-two n
+    # Under a trace (jit/vmap/scan) fresh arrays come back as tracers; only
+    # then does literal-vs-traced matter (eager calls just upload buffers).
+    return isinstance(jnp.zeros(()), jax.core.Tracer)
+
+
+def _cs_traced(rows: int, cols: int, n: int):
+    """cos/sin(2*pi*(i*j mod n)/n) as [rows, cols] f32, built in-trace.
+
+    The angle is reduced exactly: m = (i*j) & (n-1) in int32 (wraparound-safe
+    for power-of-two n), split into quadrant q = m // (n/4) and residue r, so
+    the only rounding is theta = r * (2*pi/n) with r < n/4 exact in f32. The
+    resulting matrix entries match the host float64-built literals to ~2e-7 —
+    far inside the framework's 1e-5 parity bound — while keeping the lowered
+    program a few KB instead of embedding O(n^2) floats.
+    """
+    i = lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+    j = lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+    m = (i * j) & (n - 1)
+    quarter = n // 4
+    q = m // quarter
+    r = m - q * quarter
+    theta = r.astype(jnp.float32) * np.float32(2.0 * np.pi / n)
+    ct = jnp.cos(theta)
+    st = jnp.sin(theta)
+    c = jnp.where(q == 0, ct, jnp.where(q == 1, -st, jnp.where(q == 2, -ct, st)))
+    s = jnp.where(q == 0, st, jnp.where(q == 1, ct, jnp.where(q == 2, -st, -ct)))
+    return c, s
 
 
 @functools.lru_cache(maxsize=64)
@@ -72,16 +115,30 @@ def _fft_mats_np(n: int):
 
 
 def rfft_matrices(n: int):
+    k = n // 2 + 1
+    if _use_traced(n, n, k):
+        c, s = _cs_traced(n, k, n)
+        return c, -s  # forward angle is negative
     c, s = _rfft_mats_np(n)
     return jnp.asarray(c), jnp.asarray(s)
 
 
 def irfft_matrices(n: int):
+    k = n // 2 + 1
+    if _use_traced(n, k, n):
+        c, s = _cs_traced(k, n, n)
+        w = jnp.full((k, 1), 2.0, jnp.float32).at[0].set(1.0)
+        if n % 2 == 0:
+            w = w.at[-1].set(1.0)
+        return w * c / n, -(w * s) / n
     a, b = _irfft_mats_np(n)
     return jnp.asarray(a), jnp.asarray(b)
 
 
 def fft_matrices(n: int):
+    if _use_traced(n, n, n):
+        c, s = _cs_traced(n, n, n)
+        return c, -s
     c, s = _fft_mats_np(n)
     return jnp.asarray(c), jnp.asarray(s)
 

@@ -100,3 +100,38 @@ def test_dct2(make_noise, n):
 def test_rfftfreq():
     assert allclose(nfft.rfftfreq(8, d=1.0), np.fft.rfftfreq(8, d=1.0), 1e-6)
     assert allclose(nfft.rfftfreq(1024, d=1 / 48000), np.fft.rfftfreq(1024, d=1 / 48000), 1e-2)
+
+
+# --- in-trace DFT-matrix generation (large sizes; avoids giant HLO literals) ---
+
+
+@pytest.mark.parametrize("n", [4096, 8192])
+def test_traced_dft_matrices_match_host_literals(n):
+    """Above the literal-size cap, matrices built in-trace (quadrant-exact
+    angle reduction) must match the host float64-built literals to ~1 ulp."""
+    import jax
+
+    from neojax.fft import matmul_backend as mb
+
+    for traced, host in [
+        (jax.jit(lambda: mb.fft_matrices(n))(), mb._fft_mats_np(n)),
+        (jax.jit(lambda: mb.rfft_matrices(n))(), mb._rfft_mats_np(n)),
+        (jax.jit(lambda: mb.irfft_matrices(n))(), mb._irfft_mats_np(n)),
+    ]:
+        for got, want in zip(traced, host):
+            assert np.max(np.abs(np.asarray(got) - want)) < 3e-7
+
+
+def test_matmul_backend_large_c2c_under_jit(make_noise):
+    """fft backend='matmul' at n=8192 runs under jit (regression: host-built
+    matrices embedded as ~270 MB HLO literals were rejected by the TPU
+    remote-compile endpoint)."""
+    import jax
+
+    from neojax import fft as nfft
+
+    n = 8192
+    x = make_noise(n) + 1j * make_noise(n)
+    got = jax.jit(lambda x: nfft.fft(x, backend="matmul"))(x)
+    want = np.fft.fft(np.asarray(x))
+    assert np.max(np.abs(np.asarray(got) - want)) < 2e-2 * np.max(np.abs(want))
