@@ -56,8 +56,12 @@ def main(argv=None) -> int:
     sig, sr = read_wav(args.signal)
     ir, ir_sr = read_wav(args.impulse)
     if ir_sr != sr:
-        print(f"warning: resampling not implemented; impulse {ir_sr} Hz vs signal {sr} Hz",
-              file=sys.stderr)
+        # Reference parity: IRs are resampled to the session rate before the
+        # convolver is built (extra/plugin/src/dsp/AudioFile.cpp:22-27).
+        from neojax.io.resample import resample
+
+        ir = resample(ir, ir_sr, sr)
+        print(f"impulse resampled {ir_sr} Hz -> {sr} Hz", file=sys.stderr)
 
     print(f"signal: {sig.shape[0]} ch x {sig.shape[1]} frames @ {sr} Hz")
     print(f"impulse: {ir.shape[0]} ch x {ir.shape[1]} frames")

@@ -7,11 +7,14 @@ from neojax.io.checkpoint import (
     save_state_orbax,
 )
 from neojax.io.executor import StreamExecutor
+from neojax.io.resample import polyphase_weights, resample
 from neojax.io.wav import read_wav, write_wav
 
 __all__ = [
     "read_wav",
     "write_wav",
+    "resample",
+    "polyphase_weights",
     "StreamExecutor",
     "save_state",
     "load_state",

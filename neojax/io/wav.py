@@ -77,7 +77,10 @@ def write_wav(path: str, audio: np.ndarray, sample_rate: int, bits: int = 16) ->
         pcm = (interleaved * 32767.0).round().astype("<i2").tobytes()
         sampwidth = 2
     elif bits == 32:
-        pcm = (interleaved * float((1 << 31) - 1)).round().astype("<i4").tobytes()
+        # Scale in float64: in float32, 1.0 * (2^31 - 1) rounds up to 2^31,
+        # which wraps to INT32_MIN on cast — full-scale samples flip sign.
+        scaled = interleaved.astype(np.float64) * float((1 << 31) - 1)
+        pcm = np.clip(scaled.round(), -(1 << 31), (1 << 31) - 1).astype("<i4").tobytes()
         sampwidth = 4
     else:
         raise ValueError("write_wav supports 16 or 32 bits")
