@@ -82,9 +82,17 @@ def packed_rfft(x, n: int | None = None):
     ze = x[..., 0::2]
     zo = x[..., 1::2]
     zre, zim = split_fft(ze, zo, half)  # FFT of z = even + i*odd
+    return pack_forward_post(zre, zim, half)
 
-    # Extend to k = 0..half via Z[half] = Z[0] (periodicity), then combine:
-    # X[k] = (Z[k] + conj(Z[half-k]))/2 - i/2 * w^k * (Z[k] - conj(Z[half-k]))
+
+def pack_forward_post(zre, zim, half: int):
+    """Post-twiddle of the half-size-packed real FFT: the C2C spectrum of
+    z = even + i*odd -> the 2*half-point real spectrum (re, im) planes.
+
+    Extend to k = 0..half via Z[half] = Z[0] (periodicity), then combine:
+    X[k] = (Z[k] + conj(Z[half-k]))/2 - i/2 * w^k * (Z[k] - conj(Z[half-k])).
+    Shared by the direct packed path here and the large-N four-step rfft.
+    """
     zre_e = jnp.concatenate([zre, zre[..., :1]], axis=-1)
     zim_e = jnp.concatenate([zim, zim[..., :1]], axis=-1)
     rre = zre_e[..., ::-1]
@@ -108,8 +116,17 @@ def packed_irfft(re, im, n: int | None = None):
     if n is None:
         n = 2 * (re.shape[-1] - 1)
     half = n // 2
+    zre, zim = pack_inverse_pre(re, im, half)
+    yre, yim = split_ifft(zre, zim, half)  # normalized (1/half) inverse
+    return jnp.stack([yre, yim], axis=-1).reshape(yre.shape[:-1] + (n,))
+
+
+def pack_inverse_pre(re, im, half: int):
+    """Pre-twiddle of the packed inverse: the 2*half-point real spectrum ->
+    the C2C spectrum of z = even + i*odd (to be inverse-transformed at size
+    half). Undoes :func:`pack_forward_post`:
+    A = (X + conj(X~))/2, B = w^{-k} * i/2 * (X - conj(X~))."""
     wre, wim = _pack_twiddles(half)
-    # undo the post-twiddle: A = (X + conj(X~))/2, B = w^{-k} * i/2 * (X - conj(X~))
     xr_r = re[..., ::-1]
     xi_r = im[..., ::-1]
     are = 0.5 * (re + xr_r)
@@ -119,7 +136,4 @@ def packed_irfft(re, im, n: int | None = None):
     # i * conj(w) * d = i (wre - i wim)(dre + i dim)
     tre = -(wre * dim - wim * dre)
     tim = wre * dre + wim * dim
-    zre = (are + tre)[..., :half]
-    zim = (aim + tim)[..., :half]
-    yre, yim = split_ifft(zre, zim, half)  # normalized (1/half) inverse
-    return jnp.stack([yre, yim], axis=-1).reshape(yre.shape[:-1] + (n,))
+    return (are + tre)[..., :half], (aim + tim)[..., :half]

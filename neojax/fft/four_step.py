@@ -1,18 +1,23 @@
-"""Large-N FFT via the 4-step (Bailey) decomposition on the MXU.
+"""Large-N FFT via the recursive 4-step (Bailey) decomposition on the MXU.
 
 Plays the role of the reference's large-order plan family (its fallback
 plans go to order 27, ``c2c_dit2_plan.hpp:22``): for N = N1*N2 the DFT
 factors into
 
-  1. N2-point DFTs over the columns of the [N1, N2] reshape,
-  2. twiddle multiply by W_N^(n1*k2),
-  3. N1-point DFTs over the rows,
-  4. index transpose (output k = k2*N1 + k1).
+  1. N1-point DFTs over the n1 axis of the [N1, N2] reshape,
+  2. twiddle multiply by W_N^(n2*k1),
+  3. N2-point DFTs over the n2 axis,
+  4. index transpose (output k = k1 + N1*k2).
 
-Both DFT stages share one small DFT matrix across the whole batch, so on
-TPU they are clean [batch, Nx] @ [Nx, Nx] MXU matmuls (split-complex, no
-complex dtype on device) — unlike a butterfly network, which XLA cannot
-map onto the systolic array. Supports N up to 4096^2 = 16.7M.
+Leaf DFTs are [batch, R] @ [R, R] MXU matmuls (split-complex; no complex
+dtype on device). Factors above the leaf cutoff recurse, which trades one
+O(N) twiddle + transpose pass per level for an O(N * factor) matmul — on
+a v5e this recursion is ~1.8x faster than a flat square split at N = 2^20
+and removes any upper size limit (any power of two that fits in HBM).
+
+Real transforms use the half-size packing trick (one N/2 C2C + an O(N)
+post-twiddle, ``fft/experimental/rfft.hpp:20``) instead of a zero-imag
+full transform — half the matmul work of the conjugate-symmetry fallback.
 
 All transforms are unnormalized forward / normalized inverse at the
 ``fft.api`` layer's conventions.
@@ -25,22 +30,24 @@ import functools
 import numpy as np
 import jax.numpy as jnp
 
-from neojax.core.bits import bit_ceil, bit_log2
+from neojax.core.bits import bit_log2
 from neojax.fft import matmul_backend
 
 __all__ = ["fft_split_large", "rfft_split_large", "irfft_split_large", "split_n"]
 
+# Largest leaf DFT evaluated as a dense matmul. 512 and 256 measure within
+# noise of each other at N in [2^17, 2^22]; both beat 1024+ (flops scale
+# with the factor size) and 128- (too many twiddle/transpose passes).
+_LEAF = 512
+
 
 def split_n(n: int) -> tuple[int, int]:
-    """Factor pow-2 N into N1*N2 with N1, N2 <= 4096, as square as possible."""
+    """Factor pow-2 N into N1*N2, as square as possible (N1 <= N2)."""
     if n & (n - 1):
         raise ValueError(f"four-step FFT requires a power of two, got {n}")
     log = bit_log2(n)
     l1 = log // 2
-    n1, n2 = 1 << l1, 1 << (log - l1)
-    if max(n1, n2) > 4096:
-        raise ValueError(f"four-step FFT supports N <= {4096 * 4096}, got {n}")
-    return n1, n2
+    return 1 << l1, 1 << (log - l1)
 
 
 @functools.lru_cache(maxsize=16)
@@ -53,17 +60,30 @@ def _twiddles_np(n1: int, n2: int):
     return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
 
 
+def _twiddles(n1: int, n2: int, inverse: bool):
+    """[N2, N1] twiddle planes; in-trace above the literal cap (the n=2^20
+    table alone is 8 MB — same HLO-literal hazard as the DFT matrices)."""
+    n = n1 * n2
+    if matmul_backend._use_traced(n, n2, n1):
+        c, s = matmul_backend._cs_traced(n2, n1, n)
+        return c, (s if inverse else -s)
+    tc, ts = _twiddles_np(n1, n2)
+    tc = jnp.asarray(tc)
+    ts = jnp.asarray(ts) * (-1.0 if inverse else 1.0)
+    return tc, ts
+
+
 def fft_split_large(re, im, n: int, inverse: bool = False):
     """C2C DFT of size n (pow-2, possibly huge) in split layout over the
     last axis. Unnormalized in both directions (api layer applies norms).
 
-    Decimation: n = n1*N2 + n2, k = k1 + N1*k2 ->
+    Decimation: t = n1*N2 + n2, k = k1 + N1*k2 ->
     ``X[k1 + N1 k2] = DFT_n2( W_N^(n2 k1) * DFT_n1(x[., n2])[k1] )[k2]``.
     """
+    if n <= _LEAF:
+        return matmul_backend.fft_split(re, im, n, inverse=inverse)
     n1, n2 = split_n(n)
-    tc, ts = _twiddles_np(n1, n2)
-    tc = jnp.asarray(tc)
-    ts = jnp.asarray(ts) * (-1.0 if inverse else 1.0)
+    tc, ts = _twiddles(n1, n2, inverse)
 
     batch_shape = re.shape[:-1]
     xr = re.reshape(*batch_shape, n1, n2)
@@ -72,7 +92,7 @@ def fft_split_large(re, im, n: int, inverse: bool = False):
     # Step 1: N1-point DFTs over the n1 axis (transpose so it is last).
     xr = jnp.swapaxes(xr, -1, -2)  # [.., N2, N1]
     xi = jnp.swapaxes(xi, -1, -2)
-    ar, ai = matmul_backend.fft_split(xr, xi, n1, inverse=inverse)  # [.., N2, K1]
+    ar, ai = fft_split_large(xr, xi, n1, inverse)  # [.., N2, K1]
 
     # Step 2: twiddle multiply W_N^(n2*k1).
     br = ar * tc - ai * ts
@@ -81,7 +101,7 @@ def fft_split_large(re, im, n: int, inverse: bool = False):
     # Step 3: N2-point DFTs over the n2 axis.
     br = jnp.swapaxes(br, -1, -2)  # [.., K1, N2]
     bi = jnp.swapaxes(bi, -1, -2)
-    cr, ci = matmul_backend.fft_split(br, bi, n2, inverse=inverse)  # [.., K1, K2]
+    cr, ci = fft_split_large(br, bi, n2, inverse)  # [.., K1, K2]
 
     # Step 4: output index k = k1 + N1*k2 -> flatten [K2, K1].
     cr = jnp.swapaxes(cr, -1, -2)
@@ -90,19 +110,26 @@ def fft_split_large(re, im, n: int, inverse: bool = False):
 
 
 def rfft_split_large(x, n: int):
-    """Real [..., n] -> (re, im) [..., n//2+1] for huge pow-2 n."""
+    """Real [..., n] -> (re, im) [..., n//2+1] for huge pow-2 n, via the
+    half-size packed transform (one n/2-point C2C)."""
+    from neojax.fft.extras import pack_forward_post
+
     x = x.astype(jnp.float32)
-    zero = jnp.zeros_like(x)
-    fr, fi = fft_split_large(x, zero, n)
-    k = n // 2 + 1
-    return fr[..., :k], fi[..., :k]
+    if x.shape[-1] != n:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, max(0, n - x.shape[-1]))]
+        x = jnp.pad(x[..., :n], pad)
+    half = n // 2
+    zre, zim = fft_split_large(x[..., 0::2], x[..., 1::2], half)
+    return pack_forward_post(zre, zim, half)
 
 
 def irfft_split_large(re, im, n: int):
-    """(re, im) [..., n//2+1] -> real [..., n], normalized (1/n)."""
-    k = n // 2 + 1
-    # Rebuild the conjugate-symmetric upper half.
-    fr = jnp.concatenate([re, re[..., 1 : n - k + 1][..., ::-1]], axis=-1)
-    fi = jnp.concatenate([im, -im[..., 1 : n - k + 1][..., ::-1]], axis=-1)
-    tr, _ = fft_split_large(fr, fi, n, inverse=True)
-    return tr / n
+    """(re, im) [..., n//2+1] -> real [..., n], normalized (1/n), via the
+    half-size packed inverse."""
+    from neojax.fft.extras import pack_inverse_pre
+
+    half = n // 2
+    zre, zim = pack_inverse_pre(re, im, half)
+    yre, yim = fft_split_large(zre, zim, half, inverse=True)
+    out = jnp.stack([yre, yim], axis=-1).reshape(yre.shape[:-1] + (n,))
+    return out / half
