@@ -44,6 +44,12 @@ int neo_wav_probe(const uint8_t* data, uint64_t size, int32_t* channels,
       std::memcpy(&nch, payload + 2, 2);
       std::memcpy(&rate, payload + 4, 4);
       std::memcpy(&nbits, payload + 14, 2);
+      if (fmt_code == 0xFFFE) {
+        // WAVE_FORMAT_EXTENSIBLE: real code = first 2 bytes of the
+        // SubFormat GUID at fmt offset 24.
+        if (chunk_size < 40 || pos + 8 + 26 > size) return -2;
+        std::memcpy(&fmt_code, payload + 24, 2);
+      }
       have_fmt = true;
     } else if (std::memcmp(chunk, "data", 4) == 0) {
       data_size = std::min<uint64_t>(chunk_size, size - pos - 8);
@@ -51,7 +57,6 @@ int neo_wav_probe(const uint8_t* data, uint64_t size, int32_t* channels,
     pos += 8 + chunk_size + (chunk_size & 1);
   }
   if (!have_fmt || data_size == 0 || nch == 0 || nbits == 0) return -2;
-  if (fmt_code == 0xFFFE) fmt_code = (nbits == 32) ? 3 : 1;
   if (fmt_code != 1 && fmt_code != 3) return -3;
   *channels = nch;
   *sample_rate = static_cast<int32_t>(rate);

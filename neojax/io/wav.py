@@ -31,14 +31,20 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
             payload = f.read(size + (size & 1))[:size]
             if cid == b"fmt ":
                 fmt = struct.unpack("<HHIIHH", payload[:16])
+                fmt_payload = payload
             elif cid == b"data":
                 data = payload
         if fmt is None or data is None:
             raise ValueError(f"missing fmt/data chunk in {path}")
 
     audio_format, channels, sample_rate, _, _, bits = fmt
-    if audio_format == 0xFFFE and len(data) >= 0:  # WAVE_FORMAT_EXTENSIBLE
-        audio_format = 1 if bits != 32 else 3
+    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
+        # The real format code is the first two bytes of the SubFormat GUID
+        # at offset 24 of the fmt chunk (the reference reads the full fmt:
+        # ``extra/cli/src/wav.hpp:50-89``).
+        if len(fmt_payload) < 40:
+            raise ValueError(f"truncated WAVE_FORMAT_EXTENSIBLE fmt chunk in {path}")
+        audio_format = struct.unpack_from("<H", fmt_payload, 24)[0]
 
     if audio_format == 1:  # PCM
         if bits == 16:

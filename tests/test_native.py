@@ -139,3 +139,71 @@ def test_stream_executor_matches_offline(make_noise):
     out = np.concatenate(got, axis=1)
     assert out.shape == sig.shape
     assert np.max(np.abs(out - np.asarray(ref))) < 1e-5
+
+
+def _make_extensible_wav(path, x, sr, subformat):
+    """Write a WAVE_FORMAT_EXTENSIBLE file (40-byte fmt + SubFormat GUID)."""
+    import struct
+
+    channels, frames = x.shape
+    if subformat == 1:  # PCM16
+        pcm = (np.clip(x.T.reshape(-1), -1, 1) * 32767.0).round().astype("<i2")
+        bits = 16
+    else:  # IEEE float32
+        pcm = x.T.reshape(-1).astype("<f4")
+        bits = 32
+    raw = pcm.tobytes()
+    guid = struct.pack("<H", subformat) + b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+    fmt = struct.pack(
+        "<HHIIHHHHI",
+        0xFFFE, channels, sr, sr * channels * bits // 8,
+        channels * bits // 8, bits, 22, bits, (1 << channels) - 1,
+    ) + guid
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(raw)) + raw
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body)
+
+
+@pytest.mark.parametrize("subformat", [1, 3])
+def test_extensible_wav_subformat_guid(tmp_path, make_noise, subformat):
+    """WAVE_FORMAT_EXTENSIBLE resolves via the SubFormat GUID, not bit-depth
+    guessing — a 16-bit float or 32-bit PCM extensible file decodes right."""
+    from neojax.io.wav import read_wav
+
+    x = (make_noise(2, 500) * 0.8).astype(np.float32)
+    path = str(tmp_path / f"ext{subformat}.wav")
+    _make_extensible_wav(path, x, 48000, subformat)
+    tol = 1.0 / 10000 if subformat == 1 else 1e-7
+    y, sr = read_wav(path)
+    assert sr == 48000 and y.shape == x.shape
+    assert np.abs(y - x).max() < tol
+    z, sr2 = nat.native_read_wav(path)
+    assert sr2 == 48000
+    assert np.abs(z - x).max() < tol
+
+
+def test_extensible_pcm32_not_misread_as_float(tmp_path, make_noise):
+    """A 32-bit *PCM* extensible file must not be decoded as IEEE float
+    (the old bit-depth heuristic did exactly that)."""
+    import struct
+    from neojax.io.wav import read_wav
+
+    x = (make_noise(1, 300) * 0.7).astype(np.float32)
+    pcm = np.clip(
+        (x.reshape(-1).astype(np.float64) * ((1 << 31) - 1)).round(),
+        -(1 << 31), (1 << 31) - 1,
+    ).astype("<i4")
+    guid = struct.pack("<H", 1) + b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+    fmt = struct.pack("<HHIIHHHHI", 0xFFFE, 1, 48000, 48000 * 4, 4, 32, 22, 32, 1) + guid
+    raw = pcm.tobytes()
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(raw)) + raw
+    path = str(tmp_path / "pcm32ext.wav")
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body)
+
+    y, _ = read_wav(path)
+    assert np.abs(y - x).max() < 1e-6
+    z, _ = nat.native_read_wav(path)
+    assert np.abs(z - x).max() < 1e-6
