@@ -204,49 +204,96 @@ def _use_pallas_mac(config: PartitionedConfig) -> bool:
     )
 
 
-def step(config: PartitionedConfig, params: dict, state: dict, block: jnp.ndarray):
-    """One streaming block: [C, B] in -> [C, B] out (pure; state is the carry)."""
+def _frame(config: PartitionedConfig, state: dict, block: jnp.ndarray) -> jnp.ndarray:
+    """Build the transform-size frame for one block (UPOLS sliding window /
+    UPOLA zero-padding, ``overlap_save.hpp:90-95`` / ``overlap_add.hpp:214``)."""
     b = config.block_size
     n = config.transform_size
-    k = config.num_bins
-
     if block.shape[-1] != b:
         raise ValueError(f"block size {block.shape[-1]} != configured {b}")
-
     if config.scheme == "upols":
-        frame = jnp.concatenate([state["tail"], block], axis=-1)  # [C, 2B]
-        new_tail = block
-    else:  # upola
-        frame = jnp.pad(block, [(0, 0)] * (block.ndim - 1) + [(0, n - b)])
-        new_tail = None  # set below from irfft output
+        return jnp.concatenate([state["tail"], block], axis=-1)  # [C, 2B]
+    return jnp.pad(block, [(0, 0)] * (block.ndim - 1) + [(0, n - b)])
 
+
+def _spectrum_and_push(config: PartitionedConfig, state: dict, frame: jnp.ndarray):
+    """rfft the frame and insert the spectrum into the FDL.
+
+    Returns (new_fdl, spectrum) where spectrum is a complex array (dense
+    storage) or an (re, im) tuple (split storages). Shared by the full
+    ``step`` and the insert-only warmup of the time-sharded pipeline —
+    both must produce bit-identical FDL contents (incl. quantization).
+    """
+    n = config.transform_size
+    k = config.num_bins
     ring = config.layout == "ring"
-    p = config.num_partitions
     pos = state.get("pos")
 
     if config.storage == "dense":
         spec = fft_api.rfft(frame, n=n, backend=config.fft_backend)[..., :k]
         if ring:
             new_fdl = fdl_lib.fdl_ring_push_dense(state["fdl"], spec, pos)
-            filt = fdl_lib.rotated_filter(params["filt"], pos, p)
         else:
             new_fdl = fdl_lib.fdl_push_dense(state["fdl"], spec)
+        return new_fdl, spec
+
+    if _use_split_fft(config):
+        spec_re, spec_im = matmul_backend.rfft_split(frame, n)
+    else:
+        spec = fft_api.rfft(frame, n=n, backend=config.fft_backend)[..., :k]
+        spec_re = jnp.real(spec)
+        spec_im = jnp.imag(spec)
+    if ring:
+        new_fdl = fdl_lib.fdl_ring_push_split(state["fdl"], spec_re, spec_im, pos)
+    else:
+        new_fdl = fdl_lib.fdl_push_split(state["fdl"], spec_re, spec_im)
+    return new_fdl, (spec_re, spec_im)
+
+
+def insert_only_step(config: PartitionedConfig, state: dict, block: jnp.ndarray) -> dict:
+    """Advance the FDL/tail state by one block WITHOUT the MAC + irfft.
+
+    The warmup primitive of the time-sharded pipeline (``dist.timesharded``):
+    prefilling a device's FDL from halo blocks costs one rfft per block but
+    skips the expensive partition reduce. State after N insert-only steps is
+    identical to N full steps (outputs discarded).
+    """
+    frame = _frame(config, state, block)
+    new_fdl, _ = _spectrum_and_push(config, state, frame)
+    new_state = dict(state)
+    new_state["fdl"] = new_fdl
+    if config.scheme == "upols":
+        new_state["tail"] = block.astype(jnp.float32)
+    if config.layout == "ring":
+        new_state["pos"] = (state["pos"] + 1) % config.num_partitions
+    return new_state
+
+
+def step(config: PartitionedConfig, params: dict, state: dict, block: jnp.ndarray):
+    """One streaming block: [C, B] in -> [C, B] out (pure; state is the carry)."""
+    b = config.block_size
+    n = config.transform_size
+
+    frame = _frame(config, state, block)
+    new_tail = block if config.scheme == "upols" else None
+
+    ring = config.layout == "ring"
+    p = config.num_partitions
+    pos = state.get("pos")
+
+    new_fdl, _ = _spectrum_and_push(config, state, frame)
+    if config.storage == "dense":
+        if ring:
+            filt = fdl_lib.rotated_filter(params["filt"], pos, p)
+        else:
             filt = params["filt"]
         acc = fdl_lib.fdl_mac_dense(new_fdl, filt)
         y = fft_api.irfft(acc, n=n, backend=config.fft_backend)
     else:
-        if _use_split_fft(config):
-            spec_re, spec_im = matmul_backend.rfft_split(frame, n)
-        else:
-            spec = fft_api.rfft(frame, n=n, backend=config.fft_backend)[..., :k]
-            spec_re = jnp.real(spec)
-            spec_im = jnp.imag(spec)
         if ring:
-            new_fdl = fdl_lib.fdl_ring_push_split(state["fdl"], spec_re, spec_im, pos)
             filt_re = fdl_lib.rotated_filter(params["filt_re"], pos, p)
             filt_im = fdl_lib.rotated_filter(params["filt_im"], pos, p)
         else:
-            new_fdl = fdl_lib.fdl_push_split(state["fdl"], spec_re, spec_im)
             filt_re = params["filt_re"]
             filt_im = params["filt_im"]
         if _use_pallas_mac(config):

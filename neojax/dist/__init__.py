@@ -4,6 +4,7 @@ from neojax.dist.mesh import channel_sharding, make_mesh
 from neojax.dist.pipeline import PipelineConvolver
 from neojax.dist.multihost import StreamDriver, init_distributed
 from neojax.dist.sharded import shard_params, shard_state, sharded_process
+from neojax.dist.timesharded import timesharded_process
 from neojax.dist.binsharded import BinShardedConvolver
 from neojax.dist.sharded_chunked import (
     shard_chunked_state,
@@ -19,6 +20,7 @@ __all__ = [
     "shard_params",
     "shard_state",
     "sharded_process",
+    "timesharded_process",
     "sharded_process_chunked",
     "BinShardedConvolver",
     "shard_nested_state",

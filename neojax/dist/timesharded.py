@@ -1,0 +1,124 @@
+"""Time-sharded (sequence-parallel) streaming convolution.
+
+The north-star axis BASELINE.json names: the *block stream itself* is
+sharded over a mesh "time" axis — device d processes m consecutive blocks
+[d*m, (d+1)*m) — and each device receives its predecessor's boundary state
+via ``jax.lax.ppermute``: the overlap-save window tail plus the input
+blocks needed to prefill its frequency-delay line. This is the halo
+pattern of ring attention applied to OLS streaming: the reference's
+carried tail state (``src/neo/convolution/overlap_save.hpp:37-55``,
+``overlap_add.hpp:216-220``) becomes a one-hop ring exchange.
+
+Why a halo suffices: the convolver state entering block k is a pure
+function of the previous P blocks of *input* (the FDL holds the last P
+frame spectra; the OLS window tail is the last B samples). So device d
+needs only the trailing P*B samples of its predecessor's shard — one
+``ppermute`` message — and reconstructs the state with P-1 *insert-only*
+warmup steps (rfft + FDL insert, no partition MAC): the cheap part of the
+step. For UPOLA the overlap tail additionally requires one full step on
+the last halo block (its output is discarded). Warmup cost per device is
+O(P) rffts against O(m*P) MAC work for the stream — negligible for
+m >> 1 — and the exchange itself is a single message that XLA schedules
+ahead of the warmup's data dependency.
+
+Exactness: warmup replays the SAME ``_spectrum_and_push`` code path as the
+sequential stream (including dynamic quantization for int8/int16 storage),
+so the reconstructed FDL is bit-identical and the sharded output matches
+single-device ``process`` to float-associativity (the per-block math is
+identical; only launch grouping differs).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from neojax.conv import convolver as cv
+
+__all__ = ["timesharded_process"]
+
+
+def _warmup(config: cv.PartitionedConfig, params: dict, halo: jnp.ndarray) -> dict:
+    """Reconstruct the convolver state from the predecessor's halo.
+
+    halo: [C, P*B] — the P input blocks preceding this device's shard
+    (zeros on device 0, which matches a fresh stream start).
+    """
+    p = config.num_partitions
+    b = config.block_size
+    c = halo.shape[0]
+    blocks = jnp.moveaxis(halo.reshape(c, p, b), 1, 0)  # [P, C, B]
+
+    state = cv.init_state(config)
+
+    if config.scheme == "upols":
+        # Tail seeds the sliding window; insert frames for blocks 1..P-1.
+        state = dict(state)
+        state["tail"] = blocks[0].astype(jnp.float32)
+        warm = blocks[1:]
+    else:
+        # UPOLA frames are zero-padded single blocks: insert 0..P-2, then
+        # one full step on block P-1 to materialize the overlap tail.
+        warm = blocks[:-1]
+
+    def body(carry, blk):
+        return cv.insert_only_step(config, carry, blk), None
+
+    state, _ = jax.lax.scan(body, state, warm)
+
+    if config.scheme == "upola":
+        state, _ = cv.step(config, params, state, blocks[-1])
+    return state
+
+
+def timesharded_process(
+    config: cv.PartitionedConfig,
+    params: dict,
+    signal: jnp.ndarray,
+    mesh: Mesh,
+    axis_name: str = "time",
+):
+    """Stream ``signal`` [C, T] with the block axis sharded over ``axis_name``.
+
+    Requires T = nb*B with nb divisible by the axis size, and at least
+    P blocks per device (so the halo comes from the immediate predecessor).
+    Returns the [C, T] output, sharded along time like the input.
+    """
+    signal = jnp.asarray(signal)
+    squeeze = signal.ndim == 1
+    if squeeze:
+        signal = signal[None]
+
+    d = mesh.shape[axis_name]
+    b = config.block_size
+    p = config.num_partitions
+    c, t = signal.shape
+    if t % (b * d):
+        raise ValueError(f"signal length {t} not divisible into {d} x block {b}")
+    m = t // (b * d)
+    if m < p:
+        raise ValueError(
+            f"{m} blocks/device < {p} partitions: halo would span multiple "
+            "predecessors; use fewer devices or a longer signal"
+        )
+
+    def local(params, sig):  # sig: [C, m*B] local shard
+        halo_src = sig[:, -p * b :]
+        perm = [(i, i + 1) for i in range(d - 1)]
+        halo = jax.lax.ppermute(halo_src, axis_name, perm)  # device 0: zeros
+        state = _warmup(config, params, halo)
+        _, out = cv.process(config, params, state, sig)
+        return out
+
+    fn = jax.shard_map(
+        partial(local),
+        mesh=mesh,
+        in_specs=(P(), P(None, axis_name)),
+        out_specs=P(None, axis_name),
+        check_vma=False,
+    )
+    out = jax.jit(fn)(params, signal)
+    return out[0] if squeeze else out
