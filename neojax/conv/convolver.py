@@ -76,6 +76,12 @@ class PartitionedConfig:
     # MAC engine for the partition reduce: "xla" (fused jnp) or "pallas"
     # (neojax.kernels.fdl_mac); "auto" picks per platform/storage.
     mac_backend: str = "auto"
+    # Packed-512 spectrum layout (Nyquist.re stored in the im-plane DC lane,
+    # DC/Ny history in an exact f32 side-carry): the FDL's lane count is the
+    # power-of-two B instead of B+1, so planes tile densely in HBM — the
+    # 513->640 lane padding would waste 25% of the hot MAC's bandwidth.
+    # None = auto (on for ring-layout split storages with even block size).
+    packed: bool | None = None
 
     @property
     def transform_size(self) -> int:
@@ -84,6 +90,16 @@ class PartitionedConfig:
     @property
     def num_bins(self) -> int:
         return self.block_size + 1
+
+    @property
+    def use_packed(self) -> bool:
+        if self.packed is not None:
+            return self.packed
+        return (
+            self.storage != "dense"
+            and self.layout == "ring"
+            and self.block_size % 2 == 0
+        )
 
     def __post_init__(self):
         if self.scheme not in ("upols", "upola"):
@@ -94,6 +110,15 @@ class PartitionedConfig:
             raise ValueError(f"unknown layout: {self.layout!r}")
         if self.mac_backend not in ("auto", "xla", "pallas"):
             raise ValueError(f"unknown mac_backend: {self.mac_backend!r}")
+        if self.packed and (
+            self.storage == "dense"
+            or self.layout != "ring"
+            or self.block_size % 2
+        ):
+            raise ValueError(
+                "packed layout requires a split-plane storage, ring layout "
+                "and an even block size"
+            )
 
 
 def _canon_partitions(config: PartitionedConfig, partitions: "np.ndarray") -> "np.ndarray":
@@ -159,6 +184,20 @@ def filter_params(
     ring = config.layout == "ring"
     if config.storage == "dense":
         params["filt"] = jnp.asarray(_np_tile_reverse(filt) if ring else filt)
+    elif config.use_packed:
+        # Packed-512 layout: lanes 0..B-1 = bins 0..B-1 with the im-plane's
+        # lane 0 repurposed for Nyquist.re; the DC/Nyquist reals also ride a
+        # dedicated [2P, C', 2] side filter for the exact lane-0 fixup.
+        b = config.block_size
+        fr = np.real(filt[:, :, :b]).astype(np.float32)
+        fi = np.imag(filt[:, :, :b]).astype(np.float32)
+        fi[:, :, 0] = np.real(filt[:, :, b])
+        fdcny = np.stack(
+            [np.real(filt[:, :, 0]), np.real(filt[:, :, b])], axis=-1
+        ).astype(np.float32)
+        params["filt_re"] = jnp.asarray(_np_tile_reverse(fr))
+        params["filt_im"] = jnp.asarray(_np_tile_reverse(fi))
+        params["filt_dcny"] = jnp.asarray(_np_tile_reverse(fdcny))
     else:
         fr = np.real(filt).astype(np.float32)
         fi = np.imag(filt).astype(np.float32)
@@ -175,10 +214,15 @@ def filter_params(
 def init_state(config: PartitionedConfig) -> dict:
     state = {
         "tail": jnp.zeros((config.channels, config.block_size), jnp.float32),
-        "fdl": fdl_lib.fdl_init(
-            config.storage, config.num_partitions, config.channels, config.num_bins
-        ),
     }
+    if config.use_packed:
+        state["fdl"], state["dcny"] = fdl_lib.fdl_packed_init(
+            config.storage, config.num_partitions, config.channels, config.block_size
+        )
+    else:
+        state["fdl"] = fdl_lib.fdl_init(
+            config.storage, config.num_partitions, config.channels, config.num_bins
+        )
     if config.layout == "ring":
         state["pos"] = jnp.zeros((), jnp.int32)
     return state
@@ -219,10 +263,11 @@ def _frame(config: PartitionedConfig, state: dict, block: jnp.ndarray) -> jnp.nd
 def _spectrum_and_push(config: PartitionedConfig, state: dict, frame: jnp.ndarray):
     """rfft the frame and insert the spectrum into the FDL.
 
-    Returns (new_fdl, spectrum) where spectrum is a complex array (dense
-    storage) or an (re, im) tuple (split storages). Shared by the full
-    ``step`` and the insert-only warmup of the time-sharded pipeline —
-    both must produce bit-identical FDL contents (incl. quantization).
+    Returns (state_update, spectrum): state_update is a dict of changed
+    state entries; spectrum is a complex array (dense storage) or an
+    (re, im) tuple (split storages). Shared by the full ``step`` and the
+    insert-only warmup of the time-sharded pipeline — both must produce
+    bit-identical FDL contents (incl. quantization).
     """
     n = config.transform_size
     k = config.num_bins
@@ -235,7 +280,14 @@ def _spectrum_and_push(config: PartitionedConfig, state: dict, frame: jnp.ndarra
             new_fdl = fdl_lib.fdl_ring_push_dense(state["fdl"], spec, pos)
         else:
             new_fdl = fdl_lib.fdl_push_dense(state["fdl"], spec)
-        return new_fdl, spec
+        return {"fdl": new_fdl}, spec
+
+    if config.use_packed:
+        spec_re, spec_im = matmul_backend.rfft_packed_split(frame, n)
+        new_fdl, new_dcny = fdl_lib.fdl_packed_push(
+            state["fdl"], state["dcny"], spec_re, spec_im, pos
+        )
+        return {"fdl": new_fdl, "dcny": new_dcny}, (spec_re, spec_im)
 
     if _use_split_fft(config):
         spec_re, spec_im = matmul_backend.rfft_split(frame, n)
@@ -247,7 +299,7 @@ def _spectrum_and_push(config: PartitionedConfig, state: dict, frame: jnp.ndarra
         new_fdl = fdl_lib.fdl_ring_push_split(state["fdl"], spec_re, spec_im, pos)
     else:
         new_fdl = fdl_lib.fdl_push_split(state["fdl"], spec_re, spec_im)
-    return new_fdl, (spec_re, spec_im)
+    return {"fdl": new_fdl}, (spec_re, spec_im)
 
 
 def insert_only_step(config: PartitionedConfig, state: dict, block: jnp.ndarray) -> dict:
@@ -259,9 +311,9 @@ def insert_only_step(config: PartitionedConfig, state: dict, block: jnp.ndarray)
     identical to N full steps (outputs discarded).
     """
     frame = _frame(config, state, block)
-    new_fdl, _ = _spectrum_and_push(config, state, frame)
+    update, _ = _spectrum_and_push(config, state, frame)
     new_state = dict(state)
-    new_state["fdl"] = new_fdl
+    new_state.update(update)
     if config.scheme == "upols":
         new_state["tail"] = block.astype(jnp.float32)
     if config.layout == "ring":
@@ -281,7 +333,8 @@ def step(config: PartitionedConfig, params: dict, state: dict, block: jnp.ndarra
     p = config.num_partitions
     pos = state.get("pos")
 
-    new_fdl, _ = _spectrum_and_push(config, state, frame)
+    update, _ = _spectrum_and_push(config, state, frame)
+    new_fdl = update["fdl"]
     if config.storage == "dense":
         if ring:
             filt = fdl_lib.rotated_filter(params["filt"], pos, p)
@@ -308,7 +361,15 @@ def step(config: PartitionedConfig, params: dict, state: dict, block: jnp.ndarra
                 acc_re, acc_im = fdl_mac_pallas(new_fdl, filt_re, filt_im)
         else:
             acc_re, acc_im = fdl_lib.fdl_mac_split(new_fdl, filt_re, filt_im)
-        if _use_split_fft(config):
+        if config.use_packed:
+            # Overwrite the garbage lane-0 complex product with the exact
+            # DC/Nyquist real MACs from the f32 side-carry.
+            filt_dcny = fdl_lib.rotated_filter(params["filt_dcny"], pos, p)
+            acc_dcny = fdl_lib.dcny_mac(update["dcny"], filt_dcny)  # [C, 2]
+            acc_re = acc_re.at[:, 0].set(acc_dcny[:, 0])
+            acc_im = acc_im.at[:, 0].set(acc_dcny[:, 1])
+            y = matmul_backend.irfft_packed_split(acc_re, acc_im, n)
+        elif _use_split_fft(config):
             y = matmul_backend.irfft_split(acc_re, acc_im, n)
         else:
             y = fft_api.irfft(
@@ -321,7 +382,9 @@ def step(config: PartitionedConfig, params: dict, state: dict, block: jnp.ndarra
         out = (y[..., :b] + state["tail"]).astype(block.dtype)
         new_tail = y[..., b:].astype(jnp.float32)
 
-    new_state = {"tail": new_tail.astype(jnp.float32), "fdl": new_fdl}
+    new_state = dict(state)
+    new_state.update(update)
+    new_state["tail"] = new_tail.astype(jnp.float32)
     if ring:
         new_state["pos"] = (pos + 1) % p
     return new_state, out

@@ -55,6 +55,9 @@ __all__ = [
     "rotated_filter",
     "fdl_ring_push_dense",
     "fdl_ring_push_split",
+    "fdl_packed_init",
+    "fdl_packed_push",
+    "dcny_mac",
 ]
 
 STORAGE_DTYPES = {
@@ -153,6 +156,48 @@ def fdl_ring_push_split(fdl, spec_re, spec_im, write_pos):
     return jax.lax.dynamic_update_slice(
         fdl, spec[:, None].astype(fdl.dtype), (z, write_pos, z, z)
     )
+
+
+# ------------------------------------------------------- packed-512 layout
+#
+# For even transform sizes the (B+1)-bin spectrum carries two always-real
+# values (DC and Nyquist). The packed layout stores exactly B lanes — a
+# power of two, so the FDL tiles densely with ZERO lane padding (a 513-bin
+# bf16 plane pads 513 -> 640 lanes in HBM: +25% wasted bandwidth on the
+# hot MAC). Lane 0 holds DC.re in the re-plane and Nyquist.re in the
+# im-plane (the vDSP/FFTW packed convention; the reference's vDSP backend
+# uses the same trick, fft/backend/vdsp.hpp). The DFT matmuls absorb the
+# packing for free (matmul_backend.rfft_packed_split); the complex MAC
+# stays branch-free because the DC/Nyquist history rides in a separate
+# tiny f32 side-carry ([P, C, 2]) whose exact product overwrites the
+# garbage lane-0 MAC output.
+
+
+def fdl_packed_init(storage: str, num_partitions: int, channels: int, block: int):
+    """Packed-layout FDL state: (planes-or-(planes,scales), dcny [P,C,2])."""
+    dtype = STORAGE_DTYPES[storage]
+    if storage == "dense":
+        raise ValueError("packed layout is split-plane only")
+    planes = jnp.zeros((2, num_partitions, channels, block), dtype)
+    dcny = jnp.zeros((num_partitions, channels, 2), jnp.float32)
+    if _is_quantized(dtype):
+        return (planes, jnp.ones((num_partitions, channels, 1), jnp.float32)), dcny
+    return planes, dcny
+
+
+def fdl_packed_push(fdl, dcny, spec_re, spec_im, write_pos):
+    """Ring-insert a packed spectrum ([C, B] planes) + its exact DC/Ny pair."""
+    new_fdl = fdl_ring_push_split(fdl, spec_re, spec_im, write_pos)
+    pair = jnp.stack([spec_re[:, 0], spec_im[:, 0]], axis=-1)  # [C, 2]
+    z = jnp.zeros((), write_pos.dtype)
+    new_dcny = jax.lax.dynamic_update_slice(dcny, pair[None], (write_pos, z, z))
+    return new_fdl, new_dcny
+
+
+def dcny_mac(dcny: jnp.ndarray, filt_dcny: jnp.ndarray):
+    """Exact DC/Nyquist partition reduce: [P, C, 2] x [P, C', 2] -> [C, 2]
+    (the two real-only bins are plain real MACs, no cross terms)."""
+    return jnp.sum(dcny * filt_dcny, axis=0)
 
 
 def fdl_mac_split(fdl, filt_re: jnp.ndarray, filt_im: jnp.ndarray):

@@ -57,6 +57,8 @@ def shard_state(config: cv.PartitionedConfig, state: dict, mesh: Mesh) -> dict:
     out = dict(state)
     out["tail"] = tail
     out["fdl"] = fdl
+    if "dcny" in out:  # packed layout side-carry [P, C, 2]
+        out["dcny"] = jax.device_put(out["dcny"], _named(mesh, None, "ch", None))
     if "pos" in out:
         out["pos"] = jax.device_put(out["pos"], _named(mesh))
     return out

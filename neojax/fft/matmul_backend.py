@@ -33,6 +33,8 @@ __all__ = [
     "irfft_matrices",
     "rfft_split",
     "irfft_split",
+    "rfft_packed_split",
+    "irfft_packed_split",
     "rfft",
     "irfft",
     "fft_matrices",
@@ -174,6 +176,57 @@ def irfft_split(
     a, b = irfft_matrices(n)
     return _matmul(re.astype(jnp.float32), a, precision) + _matmul(
         im.astype(jnp.float32), b, precision
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _rfft_packed_mats_np(n: int):
+    """Forward matrices for the PACKED spectrum layout: K = n/2 lanes where
+    lane 0 of the re-plane holds DC.re and lane 0 of the im-plane holds
+    Nyquist.re (both imaginary parts are identically zero for real input —
+    the classic vDSP/FFTW packed format, here absorbed into the DFT matmul
+    columns so the packing costs nothing)."""
+    assert n % 2 == 0
+    b = n // 2
+    k = np.arange(b)
+    t = np.arange(n)
+    ang = -2.0 * np.pi * np.outer(t, k) / n  # [N, B]
+    c = np.cos(ang)
+    s = np.sin(ang)
+    # im-plane lane 0 := Nyquist real = sum_t x_t cos(pi t)
+    s[:, 0] = np.cos(np.pi * t)
+    return c.astype(np.float32), s.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=32)
+def _irfft_packed_mats_np(n: int):
+    """Inverse matrices consuming the packed layout (with 1/n), absorbing
+    the Nyquist row into the im-plane matrix (lane 0 multiplies Ny.re)."""
+    assert n % 2 == 0
+    b = n // 2
+    a, bm = _irfft_mats_np(n)  # [B+1, N] each
+    a2 = a[:b].copy()
+    b2 = bm[:b].copy()
+    b2[0] = a[b]  # Nyquist cos row (weight 1), multiplies Im-plane lane 0
+    return a2, b2
+
+
+def rfft_packed_split(x: jnp.ndarray, n: int, precision=lax.Precision.HIGHEST):
+    """Real [..., n] -> packed (re, im) each [..., n//2]: bins 0..n/2-1 with
+    Nyquist.re stored in the im-plane's DC lane. Lane count n/2 is a
+    power-of-two for power-of-two n — dense (8, 128) tiling, no padding."""
+    c, s = _rfft_packed_mats_np(n)
+    x = x.astype(jnp.float32)
+    return _matmul(x, jnp.asarray(c), precision), _matmul(x, jnp.asarray(s), precision)
+
+
+def irfft_packed_split(
+    re: jnp.ndarray, im: jnp.ndarray, n: int, precision=lax.Precision.HIGHEST
+) -> jnp.ndarray:
+    """Packed (re, im) [..., n//2] -> real [..., n], normalized (1/n)."""
+    a, b = _irfft_packed_mats_np(n)
+    return _matmul(re.astype(jnp.float32), jnp.asarray(a), precision) + _matmul(
+        im.astype(jnp.float32), jnp.asarray(b), precision
     )
 
 
