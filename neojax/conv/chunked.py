@@ -32,6 +32,11 @@ Dtype policy: storage "split" contracts in f32 (Precision.HIGHEST),
 "bf16" stores history + Toeplitz in bf16 and accumulates f32 on the MXU.
 Shared (single-channel) filters only — the per-channel case would need
 per-(k, c) Toeplitz batches.
+
+Note: an earlier hand-written Pallas per-bin matmul kernel (toeplitz_mac)
+was removed — once the complex structure is folded into ONE real batched
+matmul (the [K, 2S, 2M] @ [K, 2M, C] dot_general below), XLA lowers it to
+the MXU at full rate and the custom kernel had nothing left to beat.
 """
 
 from __future__ import annotations

@@ -208,6 +208,27 @@ def filter_params(
         params["filt_im"] = jnp.asarray(fi)
     if mask is not None:
         params["mask"] = jnp.asarray(mask)
+        if config.storage != "dense" and ring:
+            # Tile schedule for the Pallas sparse MAC: per-rotation active
+            # (k-tile, p-chunk) tables (the TPU form of the reference's CSR
+            # row iteration, ``multiply_add.hpp:306-324``). Built with the
+            # same tile geometry the dense kernel would use.
+            from neojax.kernels.fdl_mac import choose_chunks
+            from neojax.kernels.sparse_mac import build_sparse_schedule
+
+            k_sched = config.block_size if config.use_packed else config.num_bins
+            m = mask[:, :, :k_sched]
+            k_tile, pc = choose_chunks(
+                fdl_lib.STORAGE_DTYPES[config.storage],
+                filt.shape[0],
+                config.channels,
+                k_sched,
+            )
+            sched = build_sparse_schedule(m, pc, k_tile)
+            params["sp_k_idx"] = jnp.asarray(sched["k_idx"])
+            params["sp_p_idx"] = jnp.asarray(sched["p_idx"])
+            params["sp_flags"] = jnp.asarray(sched["flags"])
+            params["sp_lane"] = jnp.asarray(sched["lane_mask"])
     return params
 
 
@@ -352,13 +373,36 @@ def step(config: PartitionedConfig, params: dict, state: dict, block: jnp.ndarra
         if _use_pallas_mac(config):
             from neojax.kernels.fdl_mac import fdl_mac_pallas
 
-            if isinstance(new_fdl, tuple):
-                planes, scales = new_fdl
-                acc_re, acc_im = fdl_mac_pallas(
-                    planes, filt_re, filt_im, scales[..., 0]
+            planes, scales = (
+                new_fdl if isinstance(new_fdl, tuple) else (new_fdl, None)
+            )
+            scl = None if scales is None else scales[..., 0]
+            if ring and "sp_k_idx" in params:
+                from neojax.kernels.fdl_mac import choose_chunks
+                from neojax.kernels.sparse_mac import sparse_fdl_mac_pallas
+
+                k_tile, pc = choose_chunks(
+                    planes.dtype, p, config.channels, planes.shape[-1]
                 )
+                acc_re, acc_im = sparse_fdl_mac_pallas(
+                    planes,
+                    filt_re,
+                    filt_im,
+                    pos,
+                    params["sp_k_idx"],
+                    params["sp_p_idx"],
+                    params["sp_flags"],
+                    scl,
+                    p_chunk=pc,
+                    k_tile=k_tile,
+                )
+                # Bins in k-tiles the schedule never visits are undefined.
+                acc_re = jnp.where(params["sp_lane"], acc_re, 0.0)
+                acc_im = jnp.where(params["sp_lane"], acc_im, 0.0)
+            elif scl is not None:
+                acc_re, acc_im = fdl_mac_pallas(planes, filt_re, filt_im, scl)
             else:
-                acc_re, acc_im = fdl_mac_pallas(new_fdl, filt_re, filt_im)
+                acc_re, acc_im = fdl_mac_pallas(planes, filt_re, filt_im)
         else:
             acc_re, acc_im = fdl_lib.fdl_mac_split(new_fdl, filt_re, filt_im)
         if config.use_packed:
@@ -475,6 +519,9 @@ class Convolver:
             raise RuntimeError("call filter() first")
         self.state = init_state(self.config)
         self._streamed = False
+        self._in_fifo: np.ndarray | None = None
+        self._out_fifo: np.ndarray | None = None
+        self.latency = 0
 
     def _bind_channels(self, channels: int) -> None:
         """Late channel binding: a shared (mono) filter serves any channel
@@ -495,6 +542,13 @@ class Convolver:
         self._jit_process = jax.jit(partial(process, self.config))
 
     def __call__(self, block):
+        """Stream one chunk of ANY length >= 0 (the reference upola_v2 /
+        ConstantOverlapAdd contract, ``overlap_add_convolver.hpp:72-135``,
+        ``ConstantOverlapAdd.hpp:89-199``): returns exactly as many samples
+        as given. Exact-block chunks with nothing buffered take the direct
+        path (zero added latency, bit-identical to ``process``); any other
+        chunking engages a host re-blocking FIFO with a fixed stream
+        latency of block_size-1 silence samples (``self.latency``)."""
         if self.config is None:
             raise RuntimeError("call filter() first")
         block = jnp.asarray(block, dtype=jnp.float32)
@@ -502,9 +556,63 @@ class Convolver:
         if squeeze:
             block = block[None]
         self._bind_channels(block.shape[0])
-        self.state, out = self._jit_step(self.params, self.state, block)
-        self._streamed = True
+        b = self.config.block_size
+        buffered = self._in_fifo is not None and self._in_fifo.shape[-1] > 0
+        if block.shape[-1] == b and not buffered:
+            self.state, out = self._jit_step(self.params, self.state, block)
+            self._streamed = True
+            return out[0] if squeeze else out
+        out = self._reblocked(np.asarray(block))
         return out[0] if squeeze else out
+
+    def _reblocked(self, x: "np.ndarray") -> "np.ndarray":
+        b = self.config.block_size
+        c = self.config.channels
+        if self._in_fifo is None:
+            # Fixed stream latency of B-1 samples, pre-filled as silence —
+            # the tight worst-case re-blocking bound (at most B-1 input
+            # samples can sit unprocessed), so the output never underruns
+            # mid-stream no matter how calls are chunked. The reference
+            # plugin re-blocker reports its frame size the same way
+            # (ConstantOverlapAdd.hpp:89-199, getLatencyInSamples).
+            self.latency = b - 1
+            self._in_fifo = np.zeros((c, 0), np.float32)
+            self._out_fifo = np.zeros((c, self.latency), np.float32)
+        self._in_fifo = np.concatenate([self._in_fifo, x], axis=-1)
+        n_blocks = self._in_fifo.shape[-1] // b
+        for i in range(n_blocks):  # per-block jit steps: one compiled shape
+            blk = jnp.asarray(self._in_fifo[:, i * b : (i + 1) * b])
+            self.state, y = self._jit_step(self.params, self.state, blk)
+            self._streamed = True
+            self._out_fifo = np.concatenate([self._out_fifo, np.asarray(y)], -1)
+        self._in_fifo = self._in_fifo[:, n_blocks * b :]
+        want = x.shape[-1]
+        out = self._out_fifo[:, :want]
+        self._out_fifo = self._out_fifo[:, want:]
+        return out
+
+    def flush(self) -> "np.ndarray":
+        """Drain the re-blocking FIFO: zero-pad any pending partial block,
+        process it, and return the ``self.latency`` samples still owed —
+        so concat(all __call__ returns, flush()) == zeros(latency) ++
+        offline ``process(signal)``."""
+        if self.config is None:
+            raise RuntimeError("call filter() first")
+        if self._in_fifo is None:
+            return np.zeros((self.config.channels, 0), np.float32)
+        b = self.config.block_size
+        c = self.config.channels
+        pending = self._in_fifo.shape[-1]
+        if pending:
+            pad = np.zeros((c, b - pending), np.float32)
+            block = np.concatenate([self._in_fifo, pad], -1)
+            self._in_fifo = np.zeros((c, 0), np.float32)
+            self.state, y = self._jit_step(self.params, self.state, jnp.asarray(block))
+            self._streamed = True
+            self._out_fifo = np.concatenate([self._out_fifo, np.asarray(y)], -1)
+        out = self._out_fifo[:, : self.latency]
+        self._out_fifo = self._out_fifo[:, self.latency :]
+        return out
 
     def process(self, signal):
         if self.config is None:

@@ -28,11 +28,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fdl_mac_pallas"]
+__all__ = ["fdl_mac_pallas", "choose_chunks"]
 
 # Tunables (module-level so the bench harness can sweep them; defaults are
 # the measured-best on v5e).
-_K_TILE = 128
+_K_TILE = 256
 _VMEM_BUDGET = 4 * 1024 * 1024
 
 _INT_MAX = {jnp.dtype(jnp.int8): 127.0, jnp.dtype(jnp.int16): 32767.0}
@@ -85,6 +85,28 @@ def _kernel_quant(fdl_ref, scl_ref, fr_ref, fi_ref, or_ref, oi_ref, *, inv_max):
         oi_ref[...] += im
 
 
+def choose_chunks(dtype, p: int, c: int, k: int) -> tuple[int, int]:
+    """(k_tile, p_chunk) for the MAC grid — shared with the sparse kernel's
+    schedule builder so both agree on tile geometry.
+
+    The partition chunk is sized so a double-buffered fdl block stays well
+    under VMEM. The chunk MUST divide P exactly: a ragged final chunk would
+    read out-of-bounds partitions whose garbage is summed into valid outputs
+    (unlike lane padding, which only pollutes lanes that are never written
+    back). Callers keep P a multiple of 32 for full-speed chunks
+    (Convolver pads the filter with zero partitions automatically).
+    """
+    k_tile = min(_K_TILE, k)
+    bytes_per = jnp.dtype(dtype).itemsize
+    cap = max(1, min(p, _VMEM_BUDGET // max(1, 2 * c * k_tile * bytes_per * 2)))
+    pc = 1
+    for d in range(cap, 0, -1):
+        if p % d == 0:
+            pc = d
+            break
+    return k_tile, pc
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fdl_mac_pallas(fdl, filt_re, filt_im, scales=None, *, interpret=False):
     """acc = sum_p fdl[p] * filt[p] in split-complex planes.
@@ -103,22 +125,8 @@ def fdl_mac_pallas(fdl, filt_re, filt_im, scales=None, *, interpret=False):
         filt_re = filt_re.reshape(p, k)
         filt_im = filt_im.reshape(p, k)
 
-    k_tile = min(_K_TILE, k)
+    k_tile, pc = choose_chunks(fdl.dtype, p, c, k)
     nk = pl.cdiv(k, k_tile)
-    # Partition chunk sized so a double-buffered fdl block stays well under
-    # VMEM. The chunk MUST divide P exactly: a ragged final chunk would read
-    # out-of-bounds partitions whose garbage is summed into valid outputs
-    # (unlike lane padding, which only pollutes lanes that are never written
-    # back). Callers keep P a multiple of 32 for full-speed chunks
-    # (Convolver pads the filter with zero partitions automatically).
-    bytes_per = jnp.dtype(fdl.dtype).itemsize
-    budget = _VMEM_BUDGET
-    cap = max(1, min(p, budget // max(1, 2 * c * k_tile * bytes_per * 2)))
-    pc = 1
-    for d in range(cap, 0, -1):
-        if p % d == 0:
-            pc = d
-            break
     npc = p // pc
 
     grid = (nk, npc)

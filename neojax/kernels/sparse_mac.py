@@ -3,16 +3,21 @@
 The reference's sparse filter stores kept bins in a CSR matrix and MACs
 only those (``sparse_filter.hpp:16``, ``multiply_add.hpp:306-324``). Per-
 element gathers would starve the VPU, so the TPU-native form prunes at
-*tile* granularity: the (partition-chunk x 128-bin-lane-tile) grid cells
-whose filter tiles are entirely masked are never visited — their HBM
-traffic and flops vanish, which is where the sparse speedup actually
-comes from (perceptual masks are band-structured, so tiles are coherent).
+*tile* granularity: the (partition-chunk x lane-tile) grid cells whose
+filter tiles are entirely masked are never visited — their HBM traffic
+and flops vanish, which is where the sparse speedup actually comes from
+(perceptual masks are band-structured, so tiles are coherent).
 
-Mechanics: the active (k_tile, p_chunk) pairs are enumerated at filter-
-setup time, sorted k-major; the kernel runs a 1-D grid over active pairs
-with the tile coordinates scalar-prefetched, accumulating into the k-tile's
-output block (revisited consecutively thanks to the sort). Lane-level
-masking inside a kept tile is already baked into the zeroed filter values.
+The ring FDL rotates the filter by one partition per block, so a tile's
+activity depends on the write position: the schedule is precomputed for
+ALL P rotations at filter-setup time (``build_sparse_schedule``) as
+[P, L] coordinate tables, and the kernel scalar-prefetches the current
+position's row. Rows shorter than L are padded with skip-flagged entries.
+The kernel runs a 1-D grid over the L slots, k-major sorted so each output
+k-tile is revisited consecutively and accumulated in VMEM. k-tiles with no
+active chunk at ANY rotation are never written — the caller zeroes those
+lanes with the static ``lane_mask``. Lane-level masking inside a kept tile
+is already baked into the zeroed filter values.
 """
 
 from __future__ import annotations
@@ -25,106 +30,193 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["active_tiles", "sparse_fdl_mac_pallas"]
-
-K_TILE = 128
+__all__ = ["build_sparse_schedule", "sparse_fdl_mac_pallas"]
 
 
-def active_tiles(mask: np.ndarray, p_chunk: int) -> tuple[np.ndarray, np.ndarray, float]:
-    """mask [P, K] (or [P, C', K] — any-channel OR) -> (k_idx, p_idx, density).
+def build_sparse_schedule(mask: np.ndarray, p_chunk: int, k_tile: int):
+    """mask [P, K] or [P, C', K] (any-channel OR) -> schedule dict.
 
-    Returns the k-tile / p-chunk indices of tiles containing any kept bin,
-    sorted k-major (so output tiles are revisited consecutively), plus the
-    fraction of tiles kept.
+    Returns ``{"k_idx": [P, L] i32, "p_idx": [P, L] i32, "flags": [P, L] i32,
+    "lane_mask": [K] bool, "density": float}`` where row ``w`` lists the
+    active (k-tile, p-chunk) pairs of the filter rotated to write position
+    ``w`` (ring slot i multiplies filter partition (w - i) mod P — the
+    reference's ``fdl_index`` modular schedule, ``fdl_index.hpp:24-36``),
+    k-major sorted, padded to the max row length L with flag-0 entries.
+    ``density`` is the mean fraction of tiles visited across rotations.
     """
     mask = np.asarray(mask, bool)
     if mask.ndim == 3:
         mask = mask.any(axis=1)
     p, k = mask.shape
-    nk = -(-k // K_TILE)
-    npc = -(-p // p_chunk)
-    pad = np.zeros((npc * p_chunk, nk * K_TILE), bool)
-    pad[:p, :k] = mask
-    tiles = pad.reshape(npc, p_chunk, nk, K_TILE).any(axis=(1, 3))  # [npc, nk]
-    pp, kk = np.nonzero(tiles)
-    order = np.lexsort((pp, kk))  # k-major
-    k_idx = kk[order].astype(np.int32)
-    p_idx = pp[order].astype(np.int32)
-    density = float(tiles.mean()) if tiles.size else 0.0
-    return k_idx, p_idx, density
+    if p % p_chunk:
+        raise ValueError(f"P={p} not a multiple of p_chunk={p_chunk}")
+    nk = -(-k // k_tile)
+    npc = p // p_chunk
+    padk = np.zeros((p, nk * k_tile), bool)
+    padk[:, :k] = mask
+    q = padk.reshape(p, nk, k_tile).any(axis=2)  # [P, NK] per-partition tiles
+    lane_mask = np.repeat(q.any(axis=0), k_tile)[:k]
+
+    rev = q[::-1]
+    tiled = np.concatenate([rev, rev], axis=0)  # [2P, NK]
+    rows = []
+    for w in range(p):
+        rot = tiled[p - 1 - w : 2 * p - 1 - w]  # rot[i] = q[(w - i) % P]
+        act = rot.reshape(npc, p_chunk, nk).any(axis=1)  # [NPC, NK]
+        cc, kk = np.nonzero(act)
+        order = np.lexsort((cc, kk))  # k-major
+        rows.append((kk[order], cc[order]))
+    lengths = [len(r[0]) for r in rows]
+    l_max = max(lengths)
+    if l_max == 0:
+        raise ValueError("empty sparsity mask: no active tiles")
+    k_idx = np.zeros((p, l_max), np.int32)
+    p_idx = np.zeros((p, l_max), np.int32)
+    flags = np.zeros((p, l_max), np.int32)
+    for w, (kk, cc) in enumerate(rows):
+        n = len(kk)
+        k_idx[w, :n] = kk
+        p_idx[w, :n] = cc
+        flags[w, :n] = 1
+        if n < l_max:  # pad pointing at the last real tile (skipped, cheap DMA)
+            k_idx[w, n:] = kk[-1] if n else 0
+            p_idx[w, n:] = cc[-1] if n else 0
+    density = float(np.mean(lengths) / (nk * npc))
+    return {
+        "k_idx": k_idx,
+        "p_idx": p_idx,
+        "flags": flags,
+        "lane_mask": lane_mask,
+        "density": density,
+    }
 
 
-def _kernel(k_idx, p_idx, fdl_ref, fr_ref, fi_ref, or_ref, oi_ref):
-    i = pl.program_id(0)
-    x = fdl_ref[...].astype(jnp.float32)  # [2, Pc, C, Kt]
-    xr, xi = x[0], x[1]
-    fr = fr_ref[...]
-    fi = fi_ref[...]
-    re = jnp.sum(xr * fr - xi * fi, axis=0)
-    im = jnp.sum(xr * fi + xi * fr, axis=0)
+def _mk_kernel(quant: bool, inv_max: float = 1.0):
+    def kernel(pos_ref, k_ref, p_ref, f_ref, *refs):
+        del p_ref  # consumed by the index maps only
+        if quant:
+            fdl_ref, scl_ref, fr_ref, fi_ref, or_ref, oi_ref = refs
+        else:
+            fdl_ref, fr_ref, fi_ref, or_ref, oi_ref = refs
+        i = pl.program_id(0)
+        w = pos_ref[0]
+        flag = f_ref[w, i]
+        prev_k = k_ref[w, jnp.maximum(i - 1, 0)]
+        first = jnp.logical_or(i == 0, prev_k != k_ref[w, i])
 
-    # First visit of this k-tile (k-major sort => new k means fresh tile).
-    prev_same = jnp.logical_and(i > 0, k_idx[jnp.maximum(i - 1, 0)] == k_idx[i])
+        x = fdl_ref[...].astype(jnp.float32)  # [2, Pc, C, Kt]
+        if quant:
+            scale = scl_ref[...] * inv_max  # [Pc, C]
+            x = x * scale[None, :, :, None]
+        xr, xi = x[0], x[1]
+        fr = fr_ref[...]
+        fi = fi_ref[...]
+        if fr.ndim == 2:
+            fr = fr[:, None, :]
+            fi = fi[:, None, :]
+        re = jnp.sum(xr * fr - xi * fi, axis=0)  # [C, Kt]
+        im = jnp.sum(xr * fi + xi * fr, axis=0)
 
-    @pl.when(jnp.logical_not(prev_same))
-    def _():
-        or_ref[...] = re
-        oi_ref[...] = im
+        @pl.when(jnp.logical_and(flag == 1, first))
+        def _():
+            or_ref[...] = re
+            oi_ref[...] = im
 
-    @pl.when(prev_same)
-    def _():
-        or_ref[...] += re
-        oi_ref[...] += im
+        @pl.when(jnp.logical_and(flag == 1, jnp.logical_not(first)))
+        def _():
+            or_ref[...] += re
+            oi_ref[...] += im
+
+    return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("p_chunk", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("p_chunk", "k_tile", "interpret")
+)
 def sparse_fdl_mac_pallas(
-    fdl, filt_re, filt_im, k_idx, p_idx, *, p_chunk: int, interpret=False
+    fdl,
+    filt_re,
+    filt_im,
+    pos,
+    k_idx,
+    p_idx,
+    flags,
+    scales=None,
+    *,
+    p_chunk: int,
+    k_tile: int,
+    interpret=False,
 ):
-    """Tile-sparse version of ``fdl_mac_pallas``.
+    """Tile-sparse ``fdl_mac_pallas``: only the schedule's active tiles are
+    DMA'd and MAC'd.
 
-    fdl [2, P, C, K]; filt planes [P, C', K] f32 (masked bins zeroed);
-    k_idx/p_idx from :func:`active_tiles`. P must be a multiple of p_chunk
-    and the *output is only valid for k-tiles listed in k_idx* — bins in
-    fully-pruned k-tiles are left untouched (treat as zero via the mask).
+    fdl [2, P, C, K] (f32/bf16/int8/int16); filt planes [P, C', K] f32
+    ALREADY ring-rotated (``fdl.rotated_filter``) with masked bins zeroed;
+    pos: current write position (selects the schedule row); k_idx/p_idx/
+    flags from :func:`build_sparse_schedule`; scales [P, C] f32 for int
+    storage. Output bins in never-visited k-tiles are UNDEFINED — mask
+    them with the schedule's ``lane_mask``.
     """
     _, p, c, k = fdl.shape
     cf = filt_re.shape[1]
+    if cf == 1:
+        filt_re = filt_re.reshape(p, k)
+        filt_im = filt_im.reshape(p, k)
     if p % p_chunk:
         raise ValueError(f"P={p} not a multiple of p_chunk={p_chunk}")
-    n_active = k_idx.shape[0]
+    l_max = k_idx.shape[1]
+    pos = jnp.asarray(pos, jnp.int32).reshape(1)
+
+    fdl_spec = pl.BlockSpec(
+        (2, p_chunk, c, k_tile),
+        lambda i, pos, kI, pI, fl: (0, pI[pos[0], i], 0, kI[pos[0], i]),
+    )
+    if cf == 1:
+        f_spec = pl.BlockSpec(
+            (p_chunk, k_tile),
+            lambda i, pos, kI, pI, fl: (pI[pos[0], i], kI[pos[0], i]),
+        )
+    else:
+        f_spec = pl.BlockSpec(
+            (p_chunk, cf, k_tile),
+            lambda i, pos, kI, pI, fl: (pI[pos[0], i], 0, kI[pos[0], i]),
+        )
+    out_specs = (
+        pl.BlockSpec((c, k_tile), lambda i, pos, kI, pI, fl: (0, kI[pos[0], i])),
+        pl.BlockSpec((c, k_tile), lambda i, pos, kI, pI, fl: (0, kI[pos[0], i])),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((c, k), jnp.float32),
+        jax.ShapeDtypeStruct((c, k), jnp.float32),
+    )
+
+    quant = scales is not None
+    if quant:
+        from neojax.kernels.fdl_mac import _INT_MAX
+
+        inv_max = 1.0 / _INT_MAX[jnp.dtype(fdl.dtype)]
+        scl_spec = pl.BlockSpec(
+            (p_chunk, c), lambda i, pos, kI, pI, fl: (pI[pos[0], i], 0)
+        )
+        in_specs = [fdl_spec, scl_spec, f_spec, f_spec]
+        args = (fdl, scales, filt_re, filt_im)
+    else:
+        inv_max = 1.0
+        in_specs = [fdl_spec, f_spec, f_spec]
+        args = (fdl, filt_re, filt_im)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_active,),
-        in_specs=[
-            pl.BlockSpec(
-                (2, p_chunk, c, K_TILE),
-                lambda i, k_idx, p_idx: (0, p_idx[i], 0, k_idx[i]),
-            ),
-            pl.BlockSpec(
-                (p_chunk, cf, K_TILE),
-                lambda i, k_idx, p_idx: (p_idx[i], 0, k_idx[i]),
-            ),
-            pl.BlockSpec(
-                (p_chunk, cf, K_TILE),
-                lambda i, k_idx, p_idx: (p_idx[i], 0, k_idx[i]),
-            ),
-        ],
-        out_specs=(
-            pl.BlockSpec((c, K_TILE), lambda i, k_idx, p_idx: (0, k_idx[i])),
-            pl.BlockSpec((c, K_TILE), lambda i, k_idx, p_idx: (0, k_idx[i])),
-        ),
+        num_scalar_prefetch=4,  # pos, k_idx, p_idx, flags
+        grid=(l_max,),
+        in_specs=in_specs,
+        out_specs=out_specs,
     )
     return pl.pallas_call(
-        _kernel,
+        _mk_kernel(quant, inv_max),
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((c, k), jnp.float32),
-            jax.ShapeDtypeStruct((c, k), jnp.float32),
-        ),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(k_idx, p_idx, fdl, filt_re, filt_im)
+    )(pos, k_idx, p_idx, flags, *args)

@@ -315,3 +315,69 @@ def test_upola_equals_upols_output(make_noise):
         c.filter(parts)
         outs[scheme] = np.asarray(c.process(sig))
     assert np.max(np.abs(outs["upols"] - outs["upola"])) < 2e-5
+
+
+def test_arbitrary_chunk_streaming_matches_process(make_noise, rng):
+    """Feed random-sized chunks (the upola_v2 / ConstantOverlapAdd contract,
+    overlap_add_convolver.hpp:72-135): concat(returns, flush) must equal
+    zeros(latency) ++ offline process()."""
+    b = 64
+    sig = make_noise(2, 1200)
+    ir = make_noise(2, 300)
+    parts = conv.uniform_partition(ir, b)
+
+    ref = conv.make_convolver("upols")
+    ref.filter(parts)
+    want = np.asarray(ref.process(sig))
+
+    c = conv.make_convolver("upols")
+    c.filter(parts)
+    outs, fed = [], 0
+    while fed < sig.shape[-1]:
+        n = min(int(rng.integers(1, 200)), sig.shape[-1] - fed)
+        out = c(sig[:, fed : fed + n])
+        assert out.shape == (2, n)
+        outs.append(np.asarray(out))
+        fed += n
+    outs.append(c.flush())
+    got = np.concatenate(outs, axis=-1)
+    lat = c.latency
+    assert got.shape[-1] == sig.shape[-1] + lat
+    assert np.abs(got[:, :lat]).max() == 0.0
+    np.testing.assert_allclose(got[:, lat:], want, atol=1e-5)
+
+
+def test_exact_block_chunks_have_zero_latency(make_noise):
+    b = 64
+    sig = make_noise(1, 4 * b)
+    parts = conv.uniform_partition(make_noise(1, 200), b)
+    ref = conv.make_convolver("upola")
+    ref.filter(parts)
+    want = np.asarray(ref.process(sig))
+    c = conv.make_convolver("upola")
+    c.filter(parts)
+    got = np.concatenate(
+        [np.asarray(c(sig[:, i * b : (i + 1) * b])) for i in range(4)], -1
+    )
+    assert c.latency == 0
+    np.testing.assert_allclose(got, want, atol=0)
+
+
+def test_block_multiple_chunks_via_fifo(make_noise):
+    """A 2B chunk engages the FIFO: fixed B-1 latency, then exact content."""
+    b = 64
+    sig = make_noise(1, 4 * b)
+    parts = conv.uniform_partition(make_noise(1, 200), b)
+    ref = conv.make_convolver("upols")
+    ref.filter(parts)
+    want = np.asarray(ref.process(sig))
+    c = conv.make_convolver("upols")
+    c.filter(parts)
+    got = np.concatenate(
+        [np.asarray(c(sig[:, i * 2 * b : (i + 1) * 2 * b])) for i in range(2)]
+        + [c.flush()],
+        -1,
+    )
+    assert c.latency == b - 1
+    assert np.abs(got[:, : b - 1]).max() == 0.0
+    np.testing.assert_allclose(got[:, b - 1 :], want, atol=1e-6)
