@@ -65,11 +65,19 @@ def _signal(num_blocks):
     return rng.uniform(-1, 1, (CHANNELS, num_blocks * BLOCK)).astype(np.float32)
 
 
+# SNR check: first _SNR_BLOCKS blocks x first _SNR_CH channels of every
+# engine's output vs one shared f64 UPOLS oracle (state starts at zero, so
+# the prefix depends only on the signal prefix).
+_SNR_BLOCKS = 16
+_SNR_CH = 4
+
+
 def _time(proc, params, state, sig, repeats=2):
     import jax
     import jax.numpy as jnp
 
     st, out = proc(params, state, sig)
+    head = np.asarray(out[:_SNR_CH, : _SNR_BLOCKS * BLOCK], np.float64)
     float(jnp.sum(jnp.abs(out)))  # host fetch = reliable sync
     times = []
     for _ in range(repeats):
@@ -77,7 +85,37 @@ def _time(proc, params, state, sig, repeats=2):
         st, out = proc(params, st, sig)
         float(jnp.sum(jnp.abs(out)))
         times.append(time.perf_counter() - t0)
-    return min(times)
+    return min(times), head
+
+
+def _oracle_head():
+    """Exact f64 UPOLS recurrence (numpy) over the shared parts + signal:
+    the same math as ``conv.convolver.step`` with the reference's
+    unnormalized-ifft + 1/N semantics (``overlap_save.hpp:85-112``)."""
+    parts = _make_parts(P_REAL, BLOCK + 1)[0].astype(np.complex128)  # [P, K]
+    sig = _signal(_SNR_BLOCKS)[:_SNR_CH].astype(np.float64)
+    n = 2 * BLOCK
+    window = np.zeros((_SNR_CH, n))
+    hist = np.zeros((P_REAL, _SNR_CH, BLOCK + 1), np.complex128)
+    out = np.zeros_like(sig)
+    for i in range(_SNR_BLOCKS):
+        window[:, :BLOCK] = window[:, BLOCK:]
+        window[:, BLOCK:] = sig[:, i * BLOCK : (i + 1) * BLOCK]
+        pos = i % P_REAL
+        hist[pos] = np.fft.rfft(window, axis=-1)
+        idx = (pos - np.arange(P_REAL)) % P_REAL
+        acc = (hist[idx] * parts[:, None]).sum(0)
+        out[:, i * BLOCK : (i + 1) * BLOCK] = np.fft.irfft(acc, n=n, axis=-1)[:, BLOCK:]
+    return out
+
+
+def _snr_db(head, oracle):
+    err = head - oracle
+    num = float(np.sum(oracle**2))
+    den = float(np.sum(err**2))
+    if den == 0:
+        return float("inf")
+    return 10.0 * np.log10(num / den)
 
 
 def bench_chunked(storage="bf16", s=32, mult=16):
@@ -96,8 +134,8 @@ def bench_chunked(storage="bf16", s=32, mult=16):
     proc = jax.jit(
         partial(chunked.process_chunked, cfg, chunk_blocks=s), donate_argnums=(1,)
     )
-    dt = _time(proc, params, state, sig)
-    return CHANNELS * nb * BLOCK / dt, dt, nb
+    dt, head = _time(proc, params, state, sig)
+    return CHANNELS * nb * BLOCK / dt, dt, nb, head, None
 
 
 def bench_nested(storage="bf16", s=128, mult=16):
@@ -114,8 +152,8 @@ def bench_nested(storage="bf16", s=128, mult=16):
     nb = (P_REAL - (P_REAL % s)) * mult
     sig = jnp.asarray(_signal(nb))
     proc = jax.jit(partial(nested.process_nested, cfg), donate_argnums=(1,))
-    dt = _time(proc, params, state, sig)
-    return CHANNELS * nb * BLOCK / dt, dt, nb
+    dt, head = _time(proc, params, state, sig)
+    return CHANNELS * nb * BLOCK / dt, dt, nb, head, None
 
 
 def bench_hybrid(storage="bf16", s=64, mult=4):
@@ -132,11 +170,25 @@ def bench_hybrid(storage="bf16", s=64, mult=4):
     nb = (P_REAL - (P_REAL % s)) * mult
     sig = jnp.asarray(_signal(nb))
     proc = jax.jit(partial(hybrid.process_hybrid, cfg), donate_argnums=(1,))
-    dt = _time(proc, params, state, sig)
-    return CHANNELS * nb * BLOCK / dt, dt, nb
+    dt, head = _time(proc, params, state, sig)
+    return CHANNELS * nb * BLOCK / dt, dt, nb, head, None
 
 
-def bench_perblock(storage, mac):
+def _perblock_bytes(cfg, p):
+    """HBM bytes touched per block by the uniform per-block step: the full
+    FDL read + one row write, rotated filter planes, DFT matrices, block IO."""
+    lanes = cfg.block_size if cfg.use_packed else cfg.num_bins
+    itemsize = {"dense": 8, "split": 4, "bf16": 2, "int16": 2, "int8": 1}[cfg.storage]
+    n = cfg.transform_size
+    fdl = 2 * p * cfg.channels * lanes * itemsize
+    filt = 2 * p * lanes * 4
+    mats = 2 * n * lanes * 4 + 2 * lanes * n * 4
+    io = 2 * cfg.channels * cfg.block_size * 4
+    scl = (2 * p * cfg.channels * 4) if cfg.storage in ("int8", "int16") else 0
+    return fdl + filt + mats + io + scl
+
+
+def bench_perblock(storage, mac, fused=None):
     jax = _setup_jax()
     import jax.numpy as jnp
 
@@ -144,7 +196,7 @@ def bench_perblock(storage, mac):
 
     p = -(-P_REAL // 32) * 32  # padded for full Pallas chunks
     cfg = cv.PartitionedConfig(
-        BLOCK, p, CHANNELS, storage=storage, mac_backend=mac
+        BLOCK, p, CHANNELS, storage=storage, mac_backend=mac, fused=fused
     )
     parts = _make_parts(P_REAL, cfg.num_bins)
     parts = np.concatenate(
@@ -155,8 +207,8 @@ def bench_perblock(storage, mac):
     nb = 469  # ~5 s
     sig = jnp.asarray(_signal(nb))
     proc = jax.jit(partial(cv.process, cfg), donate_argnums=(1,))
-    dt = _time(proc, params, state, sig)
-    return CHANNELS * nb * BLOCK / dt, dt, nb
+    dt, head = _time(proc, params, state, sig)
+    return CHANNELS * nb * BLOCK / dt, dt, nb, head, _perblock_bytes(cfg, p)
 
 
 def main():
@@ -164,17 +216,33 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     print(f"# device: {jax.devices()[0]}", file=sys.stderr)
 
-    results = {}
+    from neojax.bench.harness import hbm_peak_bytes_per_sec
+
+    peak = hbm_peak_bytes_per_sec()
+    oracle = _oracle_head()
+
+    engines = {}
 
     def record(name, fn):
         try:
-            sps, dt, nb = fn()
-            results[name] = sps
-            print(
+            sps, dt, nb, head, bpb = fn()
+            snr = _snr_db(head, oracle)
+            roof = (bpb * nb / dt / peak) if (bpb and peak) else None
+            engines[name] = {
+                "samples_per_sec": round(sps, 1),
+                "us_per_block": round(dt / nb * 1e6, 1),
+                "snr_db_vs_f64": round(snr, 1),
+            }
+            if roof is not None:
+                engines[name]["roofline_fraction"] = round(roof, 3)
+            msg = (
                 f"# {name}: {sps/1e6:.1f} M samples/s "
-                f"({dt/nb*1e6:.1f} us/block over {nb} blocks)",
-                file=sys.stderr,
+                f"({dt/nb*1e6:.1f} us/block over {nb} blocks) "
+                f"snr {snr:.1f} dB"
             )
+            if roof is not None:
+                msg += f" roofline {roof:.2f}"
+            print(msg, file=sys.stderr)
         except Exception as e:
             print(f"# {name} FAILED: {type(e).__name__}: {e}", file=sys.stderr)
 
@@ -185,17 +253,19 @@ def main():
         record("chunked/bf16/S128", partial(bench_chunked, "bf16", 128))
         record("hybrid/bf16/S64", partial(bench_hybrid, "bf16", 64))
         record("hybrid/int8/S64", partial(bench_hybrid, "int8", 64))
-        record("perblock/bf16/pallas", partial(bench_perblock, "bf16", "pallas"))
+        record("perblock/bf16/fused", partial(bench_perblock, "bf16", "pallas", True))
+        record("perblock/int8/fused", partial(bench_perblock, "int8", "pallas", True))
+        record("perblock/bf16/pallas", partial(bench_perblock, "bf16", "pallas", False))
     else:
         record("perblock/dense/xla", partial(bench_perblock, "dense", "xla"))
 
-    if not results:
+    if not engines:
         print(json.dumps({"metric": "error", "value": 0, "unit": "samples/s",
                           "vs_baseline": 0}))
         return
 
-    best_key = max(results, key=results.get)
-    best = results[best_key]
+    best_key = max(engines, key=lambda k: engines[k]["samples_per_sec"])
+    best = engines[best_key]["samples_per_sec"]
     print(f"# best: {best_key}", file=sys.stderr)
     print(
         json.dumps(
@@ -204,6 +274,8 @@ def main():
                 "value": round(best, 1),
                 "unit": "samples/s",
                 "vs_baseline": round(best / (CHANNELS * SR), 3),
+                "best_engine": best_key,
+                "engines": engines,
             }
         )
     )

@@ -96,6 +96,13 @@ def main(argv=None) -> int:
         cfg = PartitionedConfig(
             args.block, parts.shape[1], channels=sig.shape[0], storage=storage
         )
+        if args.engine == "chunked" and parts.shape[0] != 1:
+            # The Toeplitz form would need a [K, C, 2S, 2M] operand (TBs at
+            # production sizes); nested covers per-channel IRs at full
+            # speed, so the CLI routes there instead of erroring.
+            print("chunked is shared-IR only; using nested for the "
+                  f"{parts.shape[0]}-channel IR")
+            args.engine = "nested"
         if args.engine == "hybrid":
             from neojax.conv import hybrid
 

@@ -30,8 +30,10 @@ S blocks — streaming real-time use keeps the per-block path.
 
 Dtype policy: storage "split" contracts in f32 (Precision.HIGHEST),
 "bf16" stores history + Toeplitz in bf16 and accumulates f32 on the MXU.
-Shared (single-channel) filters only — the per-channel case would need
-per-(k, c) Toeplitz batches.
+Shared (single-channel) filters only BY DESIGN: the per-channel case
+would need a [K, C, 2S, 2M] Toeplitz operand (terabytes at production
+sizes) — per-channel IRs route to the nested engine, which covers them
+at the same throughput class (see ``neojax.cli``).
 
 Note: an earlier hand-written Pallas per-bin matmul kernel (toeplitz_mac)
 was removed — once the complex structure is folded into ONE real batched
@@ -106,7 +108,12 @@ def chunked_filter_params(
     """
     filt = _canon_partitions(config, np.asarray(partitions)).astype(np.complex64)
     if filt.shape[1] != 1:
-        raise NotImplementedError("chunked mode currently requires a shared filter")
+        raise ValueError(
+            "chunked mode is shared-IR only by design: a per-channel Toeplitz "
+            "operand would be [K, C, 2S, 2M] (terabytes at production sizes). "
+            "Use the nested engine for per-channel filters — same throughput "
+            "class (conv.nested.nested_filter_params)."
+        )
     plane = filt[:, 0, :]  # [P, K]
     p, k = plane.shape
     s = chunk_blocks

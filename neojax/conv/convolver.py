@@ -76,6 +76,11 @@ class PartitionedConfig:
     # MAC engine for the partition reduce: "xla" (fused jnp) or "pallas"
     # (neojax.kernels.fdl_mac); "auto" picks per platform/storage.
     mac_backend: str = "auto"
+    # Fused per-block Pallas pipeline (rfft + insert + MAC + irfft in one
+    # kernel, neojax.kernels.fused_step). None = auto: on for packed ring
+    # split-plane configs with the pallas MAC and no sparsity mask, when
+    # the transform is small enough for VMEM-resident DFT matrices.
+    fused: bool | None = None
     # Packed-512 spectrum layout (Nyquist.re stored in the im-plane DC lane,
     # DC/Ny history in an exact f32 side-carry): the FDL's lane count is the
     # power-of-two B instead of B+1, so planes tile densely in HBM — the
@@ -119,6 +124,8 @@ class PartitionedConfig:
                 "packed layout requires a split-plane storage, ring layout "
                 "and an even block size"
             )
+        if self.fused and not self.use_packed:
+            raise ValueError("fused=True requires the packed ring layout")
 
 
 def _canon_partitions(config: PartitionedConfig, partitions: "np.ndarray") -> "np.ndarray":
@@ -198,6 +205,13 @@ def filter_params(
         params["filt_re"] = jnp.asarray(_np_tile_reverse(fr))
         params["filt_im"] = jnp.asarray(_np_tile_reverse(fi))
         params["filt_dcny"] = jnp.asarray(_np_tile_reverse(fdcny))
+        if fr.shape[1] == 1:
+            # 8 pre-shifted copies for the fused kernel's aligned rotated-
+            # filter DMA (see kernels.fused_step.shift8_filter).
+            from neojax.kernels.fused_step import shift8_filter
+
+            params["filt_re8"] = jnp.asarray(shift8_filter(_np_tile_reverse(fr)))
+            params["filt_im8"] = jnp.asarray(shift8_filter(_np_tile_reverse(fi)))
     else:
         fr = np.real(filt).astype(np.float32)
         fi = np.imag(filt).astype(np.float32)
@@ -252,6 +266,19 @@ def init_state(config: PartitionedConfig) -> dict:
 def _use_split_fft(config: PartitionedConfig) -> bool:
     backend = fft_api._resolve_backend(config.fft_backend, config.transform_size)
     return backend == "matmul" and config.storage != "dense"
+
+
+def _use_fused(config: PartitionedConfig, params: dict) -> bool:
+    if "sp_k_idx" in params:
+        return False  # the sparse kernel owns masked configs
+    if config.fused is not None:
+        return config.fused
+    return (
+        config.use_packed
+        and config.layout == "ring"
+        and config.block_size <= 1024
+        and _use_pallas_mac(config)
+    )
 
 
 def _use_pallas_mac(config: PartitionedConfig) -> bool:
@@ -342,6 +369,52 @@ def insert_only_step(config: PartitionedConfig, state: dict, block: jnp.ndarray)
     return new_state
 
 
+def _fused_step(config: PartitionedConfig, params: dict, state: dict, frame):
+    """Run one block through the fused Pallas pipeline (packed ring layout).
+
+    The kernel owns rfft + quantize + ring insert + MAC + irfft; this
+    wrapper computes the exact DC/Nyquist side-carry update (two trivial
+    reductions — the packed forward matrix's lane-0 columns are all-ones /
+    alternating-sign) and its rotated side-filter MAC, which the kernel
+    consumes as the lane-0 overwrite.
+    """
+    from neojax.kernels.fused_step import fused_block_step
+
+    n = config.transform_size
+    p = config.num_partitions
+    pos = state["pos"]
+
+    alt = jnp.where(jnp.arange(n) % 2 == 0, 1.0, -1.0)
+    dc = jnp.sum(frame, axis=-1)  # [C]
+    ny = jnp.sum(frame * alt, axis=-1)
+    pair = jnp.stack([dc, ny], axis=-1)  # [C, 2]
+    z = jnp.zeros((), pos.dtype)
+    new_dcny = jax.lax.dynamic_update_slice(state["dcny"], pair[None], (pos, z, z))
+    filt_dcny = fdl_lib.rotated_filter(params["filt_dcny"], pos, p)
+    dcfix = fdl_lib.dcny_mac(new_dcny, filt_dcny).T  # [2, C]
+
+    cs_np, ab_np = matmul_backend.packed_mats_np(n)
+    cs = jnp.asarray(cs_np)
+    ab = jnp.asarray(ab_np)
+
+    shared = "filt_re8" in params
+    fr = params["filt_re8"] if shared else params["filt_re"]
+    fi = params["filt_im8"] if shared else params["filt_im"]
+    fdl = state["fdl"]
+    if isinstance(fdl, tuple):
+        planes, scales = fdl
+        y, new_planes, new_scales = fused_block_step(
+            frame, planes, fr, fi, pos, dcfix, cs, ab,
+            jnp.swapaxes(scales, 1, 2), shared_filter=shared,
+        )
+        new_fdl = (new_planes, jnp.swapaxes(new_scales, 1, 2))
+    else:
+        y, new_fdl = fused_block_step(
+            frame, fdl, fr, fi, pos, dcfix, cs, ab, shared_filter=shared
+        )
+    return y, {"fdl": new_fdl, "dcny": new_dcny}
+
+
 def step(config: PartitionedConfig, params: dict, state: dict, block: jnp.ndarray):
     """One streaming block: [C, B] in -> [C, B] out (pure; state is the carry)."""
     b = config.block_size
@@ -353,6 +426,19 @@ def step(config: PartitionedConfig, params: dict, state: dict, block: jnp.ndarra
     ring = config.layout == "ring"
     p = config.num_partitions
     pos = state.get("pos")
+
+    if _use_fused(config, params):
+        y, update = _fused_step(config, params, state, frame)
+        if config.scheme == "upols":
+            out = y[..., b:].astype(block.dtype)
+        else:
+            out = (y[..., :b] + state["tail"]).astype(block.dtype)
+            new_tail = y[..., b:]
+        new_state = dict(state)
+        new_state.update(update)
+        new_state["tail"] = new_tail.astype(jnp.float32)
+        new_state["pos"] = (pos + 1) % p
+        return new_state, out
 
     update, _ = _spectrum_and_push(config, state, frame)
     new_fdl = update["fdl"]

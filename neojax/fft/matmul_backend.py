@@ -211,6 +211,14 @@ def _irfft_packed_mats_np(n: int):
     return a2, b2
 
 
+def packed_mats_np(n: int):
+    """Stacked packed-DFT matrices for the fused block-step kernel:
+    (cs [2, N, B] forward cos|sin, ab [2, B, N] inverse with 1/N)."""
+    c, s = _rfft_packed_mats_np(n)
+    a, b = _irfft_packed_mats_np(n)
+    return np.stack([c, s]), np.stack([a, b])
+
+
 def rfft_packed_split(x: jnp.ndarray, n: int, precision=lax.Precision.HIGHEST):
     """Real [..., n] -> packed (re, im) each [..., n//2]: bins 0..n/2-1 with
     Nyquist.re stored in the im-plane's DC lane. Lane count n/2 is a

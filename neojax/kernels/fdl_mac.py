@@ -33,7 +33,7 @@ __all__ = ["fdl_mac_pallas", "choose_chunks"]
 # Tunables (module-level so the bench harness can sweep them; defaults are
 # the measured-best on v5e).
 _K_TILE = 256
-_VMEM_BUDGET = 4 * 1024 * 1024
+_VMEM_BUDGET = 8 * 1024 * 1024
 
 _INT_MAX = {jnp.dtype(jnp.int8): 127.0, jnp.dtype(jnp.int16): 32767.0}
 
@@ -153,6 +153,7 @@ def fdl_mac_pallas(fdl, filt_re, filt_im, scales=None, *, interpret=False):
             out_shape=out_shape,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "arbitrary"),
+                vmem_limit_bytes=32 * 1024 * 1024,
             ),
             interpret=interpret,
         )(fdl, filt_re, filt_im)
@@ -167,6 +168,7 @@ def fdl_mac_pallas(fdl, filt_re, filt_im, scales=None, *, interpret=False):
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=32 * 1024 * 1024,
         ),
         interpret=interpret,
     )(fdl, scales, filt_re, filt_im)

@@ -71,7 +71,7 @@ def test_chunked_rejects_per_channel_filter(make_noise):
     b = 64
     parts = conv.uniform_partition(make_noise(2, 4 * b), b)
     cfg = conv.PartitionedConfig(b, parts.shape[1], channels=2)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="nested"):
         chunked.chunked_filter_params(cfg, parts, 4)
 
 

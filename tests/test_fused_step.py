@@ -1,0 +1,105 @@
+"""Fused per-block Pallas pipeline vs the unfused step (interpret mode).
+
+The fused kernel (``neojax.kernels.fused_step``) runs the whole hot path of
+the reference's ``uniform_partitioned_convolver::operator()``
+(``src/neo/convolution/uniform_partitioned_convolver.hpp:48-66``) in one
+Pallas call.  These tests stream short signals through the full convolver
+with ``fused=True`` (kernel in interpreter mode) and assert the output
+matches the unfused XLA path for every storage, scheme, and filter form.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from functools import partial
+
+from neojax.conv import convolver as cv
+from neojax.kernels import fused_step
+
+
+@pytest.fixture
+def fused_interpret():
+    fused_step._INTERPRET = True
+    yield
+    fused_step._INTERPRET = False
+    jax.clear_caches()
+
+
+def _run(config, parts, sig):
+    params = cv.filter_params(config, parts)
+    state = cv.init_state(config)
+    _, out = cv.process(config, params, state, jnp.asarray(sig))
+    return np.asarray(out)
+
+
+def _mk(rng, p, bins, cf=1):
+    return (
+        (rng.standard_normal((cf, p, bins)) + 1j * rng.standard_normal((cf, p, bins)))
+        * 0.1
+    ).astype(np.complex64)
+
+
+_TOL = {"split": 2e-5, "bf16": 5e-3, "int16": 5e-4, "int8": 2e-2}
+
+
+@pytest.mark.parametrize("storage", ["split", "bf16", "int16", "int8"])
+@pytest.mark.parametrize("scheme", ["upols", "upola"])
+def test_fused_matches_unfused(fused_interpret, rng, storage, scheme):
+    b, p, c = 64, 8, 4
+    parts = _mk(rng, p, b + 1)
+    sig = rng.uniform(-1, 1, (c, 6 * b)).astype(np.float32)
+    cfg_f = cv.PartitionedConfig(b, p, c, scheme=scheme, storage=storage, fused=True)
+    cfg_u = cv.PartitionedConfig(b, p, c, scheme=scheme, storage=storage, fused=False)
+    out_f = _run(cfg_f, parts, sig)
+    out_u = _run(cfg_u, parts, sig)
+    scale = max(1e-6, np.abs(out_u).max())
+    assert np.abs(out_f - out_u).max() / scale < _TOL[storage]
+
+
+@pytest.mark.parametrize("storage", ["split", "int8"])
+def test_fused_per_channel_filter(fused_interpret, rng, storage):
+    b, p, c = 64, 8, 4
+    parts = _mk(rng, p, b + 1, cf=c)
+    sig = rng.uniform(-1, 1, (c, 5 * b)).astype(np.float32)
+    cfg_f = cv.PartitionedConfig(b, p, c, storage=storage, fused=True)
+    cfg_u = cv.PartitionedConfig(b, p, c, storage=storage, fused=False)
+    out_f = _run(cfg_f, parts, sig)
+    out_u = _run(cfg_u, parts, sig)
+    scale = max(1e-6, np.abs(out_u).max())
+    assert np.abs(out_f - out_u).max() / scale < _TOL[storage]
+
+
+def test_fused_identity_impulse(fused_interpret, rng):
+    """Identity-impulse convolution returns the input unchanged (the
+    reference's oracle, ``src/neo/testing/testing.hpp:75-83``)."""
+    b, p, c = 64, 4, 2
+    parts = np.zeros((1, p, b + 1), np.complex64)
+    parts[:, 0, :] = 1.0  # all-ones first partition == identity
+    sig = rng.uniform(-1, 1, (c, 6 * b)).astype(np.float32)
+    cfg = cv.PartitionedConfig(b, p, c, storage="split", fused=True)
+    out = _run(cfg, parts, sig)
+    assert np.abs(out - sig).max() < 1e-4
+
+
+def test_fused_vs_dense_reference_stream(fused_interpret, rng):
+    """Fused packed path vs the dense complex64 ring path (independent
+    spectrum layout + MAC), long enough to wrap the ring twice."""
+    b, p, c = 32, 6, 2
+    parts = _mk(rng, p, b + 1)
+    sig = rng.uniform(-1, 1, (c, 15 * b)).astype(np.float32)
+    cfg_f = cv.PartitionedConfig(b, p, c, storage="split", fused=True)
+    cfg_d = cv.PartitionedConfig(b, p, c, storage="dense")
+    out_f = _run(cfg_f, parts, sig)
+    out_d = _run(cfg_d, parts, sig)
+    assert np.abs(out_f - out_d).max() < 1e-4
+
+
+def test_shift8_filter_rows():
+    f = np.arange(24, dtype=np.float32).reshape(6, 4)
+    s8 = fused_step.shift8_filter(f)
+    assert s8.shape == (8, 6, 4)
+    for r in range(8):
+        rows = max(0, 6 - r)
+        np.testing.assert_array_equal(s8[r, :rows], f[r : r + rows])
+        np.testing.assert_array_equal(s8[r, rows:], 0)
