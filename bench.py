@@ -174,7 +174,7 @@ def bench_hybrid(storage="bf16", s=64, mult=4):
     return CHANNELS * nb * BLOCK / dt, dt, nb, head, None
 
 
-def _perblock_bytes(cfg, p):
+def _perblock_bytes(cfg, p, fused=False):
     """HBM bytes touched per block by the uniform per-block step: the full
     FDL read + one row write, rotated filter planes, DFT matrices, block IO."""
     lanes = cfg.block_size if cfg.use_packed else cfg.num_bins
@@ -182,7 +182,9 @@ def _perblock_bytes(cfg, p):
     n = cfg.transform_size
     fdl = 2 * p * cfg.channels * lanes * itemsize
     filt = 2 * p * lanes * 4
-    mats = 2 * n * lanes * 4 + 2 * lanes * n * 4
+    # fused path: storage-matched bf16 DFT matrices for bf16/int8
+    mat_item = 2 if (fused and cfg.storage in ("bf16", "int8")) else 4
+    mats = 2 * n * lanes * mat_item + 2 * lanes * n * mat_item
     io = 2 * cfg.channels * cfg.block_size * 4
     scl = (2 * p * cfg.channels * 4) if cfg.storage in ("int8", "int16") else 0
     return fdl + filt + mats + io + scl
@@ -208,7 +210,38 @@ def bench_perblock(storage, mac, fused=None):
     sig = jnp.asarray(_signal(nb))
     proc = jax.jit(partial(cv.process, cfg), donate_argnums=(1,))
     dt, head = _time(proc, params, state, sig)
-    return CHANNELS * nb * BLOCK / dt, dt, nb, head, _perblock_bytes(cfg, p)
+    from neojax.conv.convolver import _use_fused
+
+    fu = _use_fused(cfg, params) if fused is None else fused
+    return CHANNELS * nb * BLOCK / dt, dt, nb, head, _perblock_bytes(cfg, p, fu)
+
+
+def bench_perblock_sparse(storage="bf16", density=0.3):
+    """Per-block path with a band-limited keep-mask (IR-decay truncation
+    structure): the tile-sparse MAC's HBM traffic scales with density, so
+    throughput should approach dense/density (VERDICT #4's done-criterion).
+    SNR vs the dense oracle is meaningless here (the masked filter is a
+    different filter), so this row reports throughput only."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from neojax.conv import convolver as cv
+
+    p = -(-P_REAL // 32) * 32
+    cfg = cv.PartitionedConfig(BLOCK, p, CHANNELS, storage=storage, mac_backend="pallas")
+    parts = _make_parts(P_REAL, cfg.num_bins)
+    parts = np.concatenate(
+        [parts, np.zeros((1, p - P_REAL, cfg.num_bins), np.complex64)], axis=1
+    )
+    mask = np.zeros((p, cfg.num_bins), bool)
+    mask[: int(p * density)] = True
+    params = cv.filter_params(cfg, parts, sparsity=mask)
+    state = cv.init_state(cfg)
+    nb = 469
+    sig = jnp.asarray(_signal(nb))
+    proc = jax.jit(partial(cv.process, cfg), donate_argnums=(1,))
+    dt, _ = _time(proc, params, state, sig)
+    return CHANNELS * nb * BLOCK / dt, dt, nb, None, None
 
 
 def main():
@@ -226,20 +259,22 @@ def main():
     def record(name, fn):
         try:
             sps, dt, nb, head, bpb = fn()
-            snr = _snr_db(head, oracle)
+            snr = _snr_db(head, oracle) if head is not None else None
             roof = (bpb * nb / dt / peak) if (bpb and peak) else None
             engines[name] = {
                 "samples_per_sec": round(sps, 1),
                 "us_per_block": round(dt / nb * 1e6, 1),
-                "snr_db_vs_f64": round(snr, 1),
             }
+            if snr is not None:
+                engines[name]["snr_db_vs_f64"] = round(snr, 1)
             if roof is not None:
                 engines[name]["roofline_fraction"] = round(roof, 3)
             msg = (
                 f"# {name}: {sps/1e6:.1f} M samples/s "
-                f"({dt/nb*1e6:.1f} us/block over {nb} blocks) "
-                f"snr {snr:.1f} dB"
+                f"({dt/nb*1e6:.1f} us/block over {nb} blocks)"
             )
+            if snr is not None:
+                msg += f" snr {snr:.1f} dB"
             if roof is not None:
                 msg += f" roofline {roof:.2f}"
             print(msg, file=sys.stderr)
@@ -256,6 +291,7 @@ def main():
         record("perblock/bf16/fused", partial(bench_perblock, "bf16", "pallas", True))
         record("perblock/int8/fused", partial(bench_perblock, "int8", "pallas", True))
         record("perblock/bf16/pallas", partial(bench_perblock, "bf16", "pallas", False))
+        record("perblock/bf16/sparse30", partial(bench_perblock_sparse, "bf16", 0.3))
     else:
         record("perblock/dense/xla", partial(bench_perblock, "dense", "xla"))
 
@@ -264,7 +300,9 @@ def main():
                           "vs_baseline": 0}))
         return
 
-    best_key = max(engines, key=lambda k: engines[k]["samples_per_sec"])
+    # sparse rows run a reduced filter — not eligible for the headline
+    dense_keys = [k for k in engines if "sparse" not in k] or list(engines)
+    best_key = max(dense_keys, key=lambda k: engines[k]["samples_per_sec"])
     best = engines[best_key]["samples_per_sec"]
     print(f"# best: {best_key}", file=sys.stderr)
     print(

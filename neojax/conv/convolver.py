@@ -394,8 +394,13 @@ def _fused_step(config: PartitionedConfig, params: dict, state: dict, frame):
     dcfix = fdl_lib.dcny_mac(new_dcny, filt_dcny).T  # [2, C]
 
     cs_np, ab_np = matmul_backend.packed_mats_np(n)
-    cs = jnp.asarray(cs_np)
-    ab = jnp.asarray(ab_np)
+    # Storage-matched transform precision (the policy measured in
+    # conv.chunked._fft_precisions): bf16 matrices for the reduced-precision
+    # storages halve the 2x(N x B) matrix re-read per block — the largest
+    # fixed HBM cost of the fused step — at the storage's own SNR class.
+    mat_dt = jnp.bfloat16 if config.storage in ("bf16", "int8") else jnp.float32
+    cs = jnp.asarray(cs_np, mat_dt)
+    ab = jnp.asarray(ab_np, mat_dt)
 
     shared = "filt_re8" in params
     fr = params["filt_re8"] if shared else params["filt_re"]

@@ -65,9 +65,16 @@ def fused_chunk_rows(dtype, p: int, c: int, b: int) -> int:
 
 
 def _dot(a, bm):
+    # HIGHEST (6-pass) for f32 operands; bf16 operands are the 1-pass
+    # storage-matched precision and reject an explicit fp32 contract.
+    prec = (
+        lax.Precision.DEFAULT
+        if a.dtype == jnp.bfloat16
+        else lax.Precision.HIGHEST
+    )
     return lax.dot_general(
         a, bm, (((1,), (0,)), ((), ())),
-        precision=lax.Precision.HIGHEST,
+        precision=prec,
         preferred_element_type=jnp.float32,
     )
 
@@ -143,8 +150,10 @@ def _mk_kernel(*, npc: int, pc: int, p: int, c: int, cf: int, b: int, cpad: int,
         ab_copy.start()
 
         # ---- forward rfft (packed): spec = frame @ [cos | sin]
-        frame = frame_ref[...]
-        spec_re = _dot(frame, cs_ref[0])  # [C, B]
+        # (operands cast to the matrix dtype: bf16 matrices = the 1-pass
+        # storage-matched precision, f32 = 6-pass exact)
+        frame = frame_ref[...].astype(cs_ref.dtype)
+        spec_re = _dot(frame, cs_ref[0])  # [C, B] f32 accum
         spec_im = _dot(frame, cs_ref[1])
 
         # ---- quantize + ring insert at row `pos` (in-place via aliasing)
@@ -219,7 +228,9 @@ def _mk_kernel(*, npc: int, pc: int, p: int, c: int, cf: int, b: int, cpad: int,
 
         # ---- inverse rfft (packed, 1/N folded into the matrices)
         ab_copy.wait()
-        y_ref[...] = _dot(acc_re, imat_ref[0]) + _dot(acc_im, imat_ref[1])
+        y_ref[...] = _dot(acc_re.astype(imat_ref.dtype), imat_ref[0]) + _dot(
+            acc_im.astype(imat_ref.dtype), imat_ref[1]
+        )
 
         # ---- write the scale row (quant) and drain the insert DMA
         if quant:
@@ -323,7 +334,7 @@ def fused_block_step(frame, fdl, filt_re, filt_im, pos, dcfix, cs, ab,
     scratch = [
         pltpu.VMEM((2, 1, c, b), dt),                  # qrow (row-shaped)
         pltpu.VMEM((2, c, b), jnp.float32),            # acc
-        pltpu.VMEM((2, b, n), jnp.float32),            # inverse matrices
+        pltpu.VMEM((2, b, n), ab.dtype),               # inverse matrices
         pltpu.VMEM((2, 2, pc, c, b), dt),              # fdl double buffer
         pltpu.VMEM((2,) + fshape, jnp.float32),        # filt re buffer
         pltpu.VMEM((2,) + fshape, jnp.float32),        # filt im buffer
@@ -348,7 +359,9 @@ def fused_block_step(frame, fdl, filt_re, filt_im, pos, dcfix, cs, ab,
         cost_estimate=pl.CostEstimate(
             flops=8 * p * c * b + 4 * 2 * c * n * b,
             bytes_accessed=int(fdl.size) * jnp.dtype(dt).itemsize
-            + int(filt_re.size) * 4 + int(cs.size) * 4 + int(ab.size) * 4,
+            + int(filt_re.size) * 4
+            + int(cs.size) * cs.dtype.itemsize
+            + int(ab.size) * ab.dtype.itemsize,
             transcendentals=0,
         ),
         interpret=interpret,
