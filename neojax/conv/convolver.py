@@ -205,13 +205,21 @@ def filter_params(
         params["filt_re"] = jnp.asarray(_np_tile_reverse(fr))
         params["filt_im"] = jnp.asarray(_np_tile_reverse(fi))
         params["filt_dcny"] = jnp.asarray(_np_tile_reverse(fdcny))
+        # Lane-packed re|im planes for the fused kernel (one filter DMA per
+        # chunk), storage-matched dtype: bf16 filter for the bf16/int8
+        # storages (their storage floor dominates), f32 for split/int16.
+        fdt = np.float32 if config.storage in ("split", "int16") else np.dtype("bfloat16")
+        rim = np.concatenate(
+            [_np_tile_reverse(fr), _np_tile_reverse(fi)], axis=-1
+        ).astype(fdt)  # [2P, C', 2B]
         if fr.shape[1] == 1:
             # 8 pre-shifted copies for the fused kernel's aligned rotated-
             # filter DMA (see kernels.fused_step.shift8_filter).
             from neojax.kernels.fused_step import shift8_filter
 
-            params["filt_re8"] = jnp.asarray(shift8_filter(_np_tile_reverse(fr)))
-            params["filt_im8"] = jnp.asarray(shift8_filter(_np_tile_reverse(fi)))
+            params["filt_rim8"] = jnp.asarray(shift8_filter(rim))
+        else:
+            params["filt_rim"] = jnp.asarray(rim)
     else:
         fr = np.real(filt).astype(np.float32)
         fi = np.imag(filt).astype(np.float32)
@@ -402,20 +410,19 @@ def _fused_step(config: PartitionedConfig, params: dict, state: dict, frame):
     cs = jnp.asarray(cs_np, mat_dt)
     ab = jnp.asarray(ab_np, mat_dt)
 
-    shared = "filt_re8" in params
-    fr = params["filt_re8"] if shared else params["filt_re"]
-    fi = params["filt_im8"] if shared else params["filt_im"]
+    shared = "filt_rim8" in params
+    rim = params["filt_rim8"] if shared else params["filt_rim"]
     fdl = state["fdl"]
     if isinstance(fdl, tuple):
         planes, scales = fdl
         y, new_planes, new_scales = fused_block_step(
-            frame, planes, fr, fi, pos, dcfix, cs, ab,
+            frame, planes, rim, pos, dcfix, cs, ab,
             jnp.swapaxes(scales, 1, 2), shared_filter=shared,
         )
         new_fdl = (new_planes, jnp.swapaxes(new_scales, 1, 2))
     else:
         y, new_fdl = fused_block_step(
-            frame, fdl, fr, fi, pos, dcfix, cs, ab, shared_filter=shared
+            frame, fdl, rim, pos, dcfix, cs, ab, shared_filter=shared
         )
     return y, {"fdl": new_fdl, "dcny": new_dcny}
 

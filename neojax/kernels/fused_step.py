@@ -6,14 +6,20 @@ uniform_partitioned_convolver.hpp:48-66``):
 
     rfft (DFT matmul, MXU)  ->  [quantize +] ring insert (HBM row write)
     ->  partition MAC-reduce over the HBM-resident FDL (VPU, manual
-        double-buffered DMA, rotated filter read at a dynamic row offset)
+        triple-buffered DMA, rotated filter read at a dynamic row offset)
     ->  lane-0 DC/Nyquist fixup  ->  irfft (DFT matmul, MXU)
 
 Fusing the step removes the XLA op-scheduling residue around the MAC
-(~25 us/block: rotated-filter dynamic-slice materialization, separate
-rfft/irfft dispatches, insert) and overlaps the first FDL chunk's DMA
-with the forward transform, pushing the per-block path to the HBM
-roofline (BASELINE.json's "speed-of-light" bar).
+(rotated-filter dynamic-slice materialization, separate rfft/irfft
+dispatches, insert) and overlaps the first FDL chunk's DMA with the
+forward transform, pushing the per-block path to the HBM roofline
+(BASELINE.json's "speed-of-light" bar).
+
+Pipeline shape (measured on v5e): FDL chunks stream through THREE VMEM
+slots with two chunks in flight — two slots were ~15% off the DMA
+engine's streaming rate — and the rotated filter rides ONE DMA per chunk
+(re|im planes packed along lanes).  Quantization scales are a
+VMEM-resident input (direct row loads, no per-chunk DMA).
 
 Layout contract (identical to the unfused path, so outputs match within
 f32 reassociation):
@@ -23,9 +29,9 @@ f32 reassociation):
   DC/Nyquist accumulator pair is computed OUTSIDE (two trivial
   reductions + the [P, C, 2] side-carry MAC) and passed in as ``dcfix``
   to overwrite the garbage lane-0 complex product.
-- filter planes arrive tiled-reversed [2P, C', B] (``tile_reverse_filter``);
-  the kernel reads chunk j at dynamic row offset (P-1-pos) + j*pc — the
-  ring rotation costs nothing (no rotated copy is ever materialized).
+- the filter arrives lane-packed re|im ([8, 2P, 2B] shared with 8
+  pre-shifted copies for sublane-aligned rotated DMA; [2P, C, 2B]
+  per-channel), storage-matched dtype (bf16 for bf16/int8 storages).
 - int8/int16 storages quantize in-kernel with the same dynamic
   per-channel scale formula as ``fdl_ring_push_split`` and dequantize
   inside the MAC (the reference's ``compressed_fdl`` + ``compressed_accessor``,
@@ -44,18 +50,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 from neojax.kernels.fdl_mac import _INT_MAX
 
-__all__ = ["fused_block_step", "fused_chunk_rows"]
+__all__ = ["fused_block_step", "fused_chunk_rows", "shift8_filter"]
 
-# Target bytes per FDL chunk DMA (per double-buffer slot).
-_CHUNK_TARGET = 2 * 1024 * 1024
+# Target bytes per FDL chunk DMA (per buffer slot).
+_CHUNK_TARGET = 4 * 1024 * 1024
+
+# FDL chunk buffer slots (2 chunks in flight + 1 in compute).
+_SLOTS = 3
 
 # CPU tests flip this to run the kernel in interpreter mode through the
-# full convolver path (call fused_block_step._clear_cache() after).
+# full convolver path (clear jax caches after flipping back).
 _INTERPRET = False
 
 
 def fused_chunk_rows(dtype, p: int, c: int, b: int) -> int:
-    """Partition rows per chunk: ~2 MB slots, exact divisor of P."""
+    """Partition rows per chunk: ~_CHUNK_TARGET slots, exact divisor of P."""
     bytes_per_row = 2 * c * b * jnp.dtype(dtype).itemsize
     cap = max(1, min(p, _CHUNK_TARGET // max(1, bytes_per_row)))
     for d in range(cap, 0, -1):
@@ -81,23 +90,23 @@ def _dot(a, bm):
 
 def _mk_kernel(*, npc: int, pc: int, p: int, c: int, cf: int, b: int, cpad: int,
                quant: bool, shared: bool, inv_max: float, int_max: float, dt):
-    def kernel(pos_ref, frame_ref, fdl_any, fr_any, fi_any, cs_ref, ab_any,
+    def kernel(pos_ref, frame_ref, fdl_any, rim_any, cs_ref, ab_any,
                dcfix_ref, *rest):
         if quant:
-            (scl_any, y_ref, fdl_out, scl_out, qrow_ref, acc_ref, imat_ref,
-             fdlbuf, frbuf, fibuf, sclbuf, dma_sems, wr_sems) = rest
+            (scl_ref, y_ref, fdl_out, scl_out, qrow_ref, acc_ref, imat_ref,
+             fdlbuf, rimbuf, sclrow, dma_sems, wr_sems) = rest
         else:
             (y_ref, fdl_out, qrow_ref, acc_ref, imat_ref,
-             fdlbuf, frbuf, fibuf, dma_sems, wr_sems) = rest
-            scl_any = scl_out = sclbuf = None
+             fdlbuf, rimbuf, dma_sems, wr_sems) = rest
+            scl_ref = scl_out = sclrow = None
 
         pos = pos_ref[0]
         fstart = p - 1 - pos  # rotated filter's first row in the tiled plane
         if shared:
-            # The [8, 2P, B] filter holds 8 pre-shifted copies: copy r shifts
-            # rows by r, so the (arbitrary) row offset fstart becomes the
-            # sublane-ALIGNED offset fstart - r in copy r — Mosaic cannot
-            # slice the tiled row dimension at unaligned offsets.
+            # The [8, 2P, 2B] filter holds 8 pre-shifted copies: copy r
+            # shifts rows by r, so the (arbitrary) row offset fstart becomes
+            # the sublane-ALIGNED offset fstart - r in copy r — Mosaic
+            # cannot slice the tiled row dimension at unaligned offsets.
             r8 = lax.rem(fstart, jnp.asarray(8, jnp.int32))
             base = fstart - r8
 
@@ -107,45 +116,27 @@ def _mk_kernel(*, npc: int, pc: int, p: int, c: int, cf: int, b: int, cpad: int,
                 dma_sems.at[slot, 0],
             )
 
-        def fr_dma(slot, j):
+        def rim_dma(slot, j):
             if shared:
                 off = pl.multiple_of(base + j * pc, 8)
-                src = fr_any.at[r8, pl.ds(off, pc)]
+                src = rim_any.at[r8, pl.ds(off, pc)]
             else:
-                src = fr_any.at[pl.ds(fstart + j * pc, pc)]
-            return pltpu.make_async_copy(src, frbuf.at[slot], dma_sems.at[slot, 1])
-
-        def fi_dma(slot, j):
-            if shared:
-                off = pl.multiple_of(base + j * pc, 8)
-                src = fi_any.at[r8, pl.ds(off, pc)]
-            else:
-                src = fi_any.at[pl.ds(fstart + j * pc, pc)]
-            return pltpu.make_async_copy(src, fibuf.at[slot], dma_sems.at[slot, 2])
-
-        def scl_dma(slot, j):
-            return pltpu.make_async_copy(
-                scl_any.at[pl.ds(j * pc, pc)], sclbuf.at[slot],
-                dma_sems.at[slot, 3],
-            )
+                src = rim_any.at[pl.ds(fstart + j * pc, pc)]
+            return pltpu.make_async_copy(src, rimbuf.at[slot], dma_sems.at[slot, 1])
 
         def start_chunk(slot, j):
             fdl_dma(slot, j).start()
-            fr_dma(slot, j).start()
-            fi_dma(slot, j).start()
-            if quant:
-                scl_dma(slot, j).start()
+            rim_dma(slot, j).start()
 
         def wait_chunk(slot, j):
             fdl_dma(slot, j).wait()
-            fr_dma(slot, j).wait()
-            fi_dma(slot, j).wait()
-            if quant:
-                scl_dma(slot, j).wait()
+            rim_dma(slot, j).wait()
 
-        # Prefetch chunk 0 and the inverse matrices; both overlap with the
-        # forward transform on the MXU.
+        # Prefetch the first chunks and the inverse matrices; all overlap
+        # with the forward transform on the MXU.
         start_chunk(0, 0)
+        if npc > 1:
+            start_chunk(1, 1)
         ab_copy = pltpu.make_async_copy(ab_any, imat_ref, wr_sems.at[2])
         ab_copy.start()
 
@@ -163,14 +154,10 @@ def _mk_kernel(*, npc: int, pc: int, p: int, c: int, cf: int, b: int, cpad: int,
                 jnp.max(jnp.abs(spec_im), axis=-1),
             )  # [C]
             scale = jnp.where(peak > 0, peak, 1.0)
-            # lane-padded to cpad so every scales-row DMA is tile-aligned
-            scale_pad = jnp.concatenate(
-                [scale, jnp.ones((cpad - c,), jnp.float32)]
-            )
             q = jnp.stack([spec_re, spec_im]) / scale[None, :, None] * int_max
             qrow = jnp.clip(jnp.round(q), -int_max, int_max).astype(dt)
         else:
-            scale_pad = None
+            scale = None
             qrow = jnp.stack([spec_re, spec_im]).astype(dt)
         qrow_ref[...] = qrow[:, None]  # [2, 1, C, B]
 
@@ -179,41 +166,52 @@ def _mk_kernel(*, npc: int, pc: int, p: int, c: int, cf: int, b: int, cpad: int,
         )
         row_wr.start()
 
-        # ---- MAC-reduce over partition chunks (double-buffered)
+        # ---- MAC-reduce over partition chunks (triple-buffered)
         acc_ref[...] = jnp.zeros((2, c, b), jnp.float32)
 
         def body(j, carry):
-            slot = lax.rem(j, 2)
-            nxt = lax.rem(j + 1, 2)
+            slot = lax.rem(j, _SLOTS)
 
-            @pl.when(j + 1 < npc)
+            @pl.when(j + 2 < npc)
             def _():
-                start_chunk(nxt, j + 1)
+                start_chunk(lax.rem(j + 2, _SLOTS), j + 2)
 
             wait_chunk(slot, j)
 
             # Patch the freshly-inserted row if this chunk covers it: the
             # HBM read may have raced the row write, and even without a
-            # race the pre-insert contents would be stale.
+            # race the pre-insert contents would be stale. (Overwrite, not
+            # delta — idempotent under either race outcome.)
             in_chunk = jnp.logical_and(pos >= j * pc, pos < (j + 1) * pc)
+            local = pos - j * pc
 
             @pl.when(in_chunk)
             def _():
-                local = pos - j * pc
                 fdlbuf[slot, :, pl.ds(local, 1)] = qrow_ref[...]
-                if quant:
-                    sclbuf[slot, pl.ds(local, 1)] = scale_pad[None, None]
 
             x = fdlbuf[slot].astype(jnp.float32)  # [2, pc, C, B]
             if quant:
-                s = sclbuf[slot][:, 0, :c] * inv_max  # [pc, C]
-                x = x * s[None, :, :, None]
+                s3 = scl_ref[pl.ds(j * pc, pc)]  # [pc, 1, cpad]
+                s = lax.slice(lax.squeeze(s3, (1,)), (0, 0), (pc, c))  # [pc, C]
+                s = jnp.where(
+                    jnp.logical_and(
+                        in_chunk,
+                        lax.broadcasted_iota(jnp.int32, (pc, c), 0) == local,
+                    ),
+                    scale[None],
+                    s,
+                )
+                x = x * (s * inv_max)[None, :, :, None]
+            # NB: mixed None+slice basic indexing (rim[:, None, :b]) lowers
+            # to a gather Mosaic rejects inside fori bodies — use lax.slice.
+            rim = rimbuf[slot].astype(jnp.float32)
+            if shared:
+                fr = lax.slice(rim, (0, 0), (pc, b))[:, None]
+                fi = lax.slice(rim, (0, b), (pc, 2 * b))[:, None]
+            else:
+                fr = lax.slice(rim, (0, 0, 0), (pc, cf, b))
+                fi = lax.slice(rim, (0, 0, b), (pc, cf, 2 * b))
             xr, xi = x[0], x[1]
-            fr = frbuf[slot]
-            fi = fibuf[slot]
-            if cf == 1:
-                fr = fr[:, None, :]
-                fi = fi[:, None, :]
             acc_ref[0] += jnp.sum(xr * fr - xi * fi, axis=0)
             acc_ref[1] += jnp.sum(xr * fi + xi * fr, axis=0)
             return carry
@@ -234,21 +232,23 @@ def _mk_kernel(*, npc: int, pc: int, p: int, c: int, cf: int, b: int, cpad: int,
 
         # ---- write the scale row (quant) and drain the insert DMA
         if quant:
-            sclbuf[0, pl.ds(0, 1)] = scale_pad[None, None]
-            scl_row = pltpu.make_async_copy(
-                sclbuf.at[0, pl.ds(0, 1)], scl_out.at[pl.ds(pos, 1)],
-                wr_sems.at[1],
+            scale_pad = jnp.concatenate(
+                [scale, jnp.ones((cpad - c,), jnp.float32)]
             )
-            scl_row.start()
-            scl_row.wait()
+            sclrow[...] = scale_pad[None, None]
+            scl_wr = pltpu.make_async_copy(
+                sclrow, scl_out.at[pl.ds(pos, 1)], wr_sems.at[1]
+            )
+            scl_wr.start()
+            scl_wr.wait()
         row_wr.wait()
 
     return kernel
 
 
 def shift8_filter(filt_tiled):
-    """[2P, C', B] tiled filter -> [8, 2P, B] (shared C'=1 only): copy r is
-    the plane shifted up by r rows, so the kernel can DMA rotated rows at a
+    """[2P, B'] tiled filter plane -> [8, 2P, B']: copy r is the plane
+    shifted up by r rows, so the kernel can DMA rotated rows at a
     sublane-aligned offset. Host-side numpy, built once at filter setup."""
     import numpy as np
 
@@ -261,18 +261,19 @@ def shift8_filter(filt_tiled):
 
 
 @functools.partial(jax.jit, static_argnames=("shared_filter", "interpret"))
-def fused_block_step(frame, fdl, filt_re, filt_im, pos, dcfix, cs, ab,
+def fused_block_step(frame, fdl, filt_rim, pos, dcfix, cs, ab,
                      scales=None, *, shared_filter, interpret=False):
     """One fused streaming block step over the packed-layout ring FDL.
 
     frame   : [C, N] f32 (UPOLS sliding window / UPOLA zero-padded block)
     fdl     : [2, P, C, B] storage dtype (B = N // 2), ring layout
-    filt_re/_im : shared_filter=True -> [8, 2P, B] (``shift8_filter``);
-              else [2P, C, B] f32 tiled-reversed per-channel planes
+    filt_rim: lane-packed re|im tiled-reversed filter —
+              shared_filter=True -> [8, 2P, 2B] (``shift8_filter`` of the
+              packed plane); else [2P, C, 2B]. f32 or bf16 (storage-matched).
     pos     : int32 scalar ring write position
     dcfix   : [2, C] f32 exact DC/Nyquist accumulator values
-    cs      : [2, N, B] f32 forward packed-DFT matrices (cos | sin)
-    ab      : [2, B, N] f32 inverse packed-DFT matrices (1/N folded)
+    cs      : [2, N, B] forward packed-DFT matrices (cos | sin)
+    ab      : [2, B, N] inverse packed-DFT matrices (1/N folded)
     scales  : [P, 1, C] f32 (int8/int16 storages only)
 
     Returns (y [C, N] f32, new_fdl) or (y, new_fdl, new_scales).
@@ -280,16 +281,15 @@ def fused_block_step(frame, fdl, filt_re, filt_im, pos, dcfix, cs, ab,
     interpret = interpret or _INTERPRET
     c, n = frame.shape
     _, p, _, b = fdl.shape
-    cf = 1 if shared_filter else filt_re.shape[1]
+    cf = 1 if shared_filter else filt_rim.shape[1]
     dt = fdl.dtype
     quant = scales is not None
     int_max = float(_INT_MAX[jnp.dtype(dt)]) if quant else 0.0
     inv_max = 1.0 / int_max if quant else 1.0
     pc = fused_chunk_rows(dt, p, c, b)
     npc = p // pc
-    # Scales are lane-padded to a 128 multiple: Mosaic requires every
-    # memref row slice (the per-chunk DMA, the row writeback) to be
-    # tile-aligned along the lane dimension.
+    # Scales are lane-padded to a 128 multiple: Mosaic requires the row
+    # writeback slice (and VMEM loads) to be tile-aligned along lanes.
     cpad = -(-c // 128) * 128
     if quant:
         scales = jnp.pad(
@@ -309,12 +309,12 @@ def fused_block_step(frame, fdl, filt_re, filt_im, pos, dcfix, cs, ab,
     anym = pl.BlockSpec(memory_space=pl.ANY)
     # The filter planes MUST stay in HBM: the kernel DMAs rows at the
     # dynamic ring offset (P-1-pos), which is not sublane-aligned — a VMEM
-    # placement (what ANY picks for a 4 MB plane) cannot be row-sliced at
-    # arbitrary offsets, but the DMA engine can.
+    # placement cannot be row-sliced at arbitrary offsets, but the DMA
+    # engine can (via the 8-shift copies).
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
 
-    in_specs = [smem, vmem, anym, hbm, hbm, vmem, anym, vmem]
-    args = [pos_arr, frame, fdl, filt_re, filt_im, cs, ab, dcfix]
+    in_specs = [smem, vmem, anym, hbm, vmem, anym, vmem]
+    args = [pos_arr, frame, fdl, filt_rim, cs, ab, dcfix]
     out_shape = [
         jax.ShapeDtypeStruct((c, n), jnp.float32),
         jax.ShapeDtypeStruct(fdl.shape, dt),
@@ -322,26 +322,23 @@ def fused_block_step(frame, fdl, filt_re, filt_im, pos, dcfix, cs, ab,
     out_specs = [vmem, anym]
     aliases = {2: 1}
     if quant:
-        # HBM, not ANY: ANY would place the 480 KB scales in VMEM and the
-        # row-sliced DMAs pattern better against HBM.
-        in_specs.append(hbm)
+        in_specs.append(vmem)  # scales: VMEM-resident, direct row loads
         args.append(scales)
         out_shape.append(jax.ShapeDtypeStruct((p, 1, cpad), jnp.float32))
         out_specs.append(hbm)
-        aliases[8] = 2
+        aliases[7] = 2
 
-    fshape = (pc, b) if shared_filter else (pc, cf, b)
+    rshape = (pc, 2 * b) if shared_filter else (pc, cf, 2 * b)
     scratch = [
         pltpu.VMEM((2, 1, c, b), dt),                  # qrow (row-shaped)
         pltpu.VMEM((2, c, b), jnp.float32),            # acc
         pltpu.VMEM((2, b, n), ab.dtype),               # inverse matrices
-        pltpu.VMEM((2, 2, pc, c, b), dt),              # fdl double buffer
-        pltpu.VMEM((2,) + fshape, jnp.float32),        # filt re buffer
-        pltpu.VMEM((2,) + fshape, jnp.float32),        # filt im buffer
+        pltpu.VMEM((_SLOTS, 2, pc, c, b), dt),         # fdl chunk slots
+        pltpu.VMEM((_SLOTS,) + rshape, filt_rim.dtype),  # filter slots
     ]
     if quant:
-        scratch.append(pltpu.VMEM((2, pc, 1, cpad), jnp.float32))  # scales buffer
-    scratch.append(pltpu.SemaphoreType.DMA((2, 4)))    # per-slot chunk sems
+        scratch.append(pltpu.VMEM((1, 1, cpad), jnp.float32))  # scale row
+    scratch.append(pltpu.SemaphoreType.DMA((_SLOTS, 2)))  # per-slot chunk sems
     scratch.append(pltpu.SemaphoreType.DMA((3,)))      # row / scale / ab sems
 
     out = pl.pallas_call(
@@ -354,12 +351,12 @@ def fused_block_step(frame, fdl, filt_re, filt_im, pos, dcfix, cs, ab,
         input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=40 * 1024 * 1024,
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=8 * p * c * b + 4 * 2 * c * n * b,
             bytes_accessed=int(fdl.size) * jnp.dtype(dt).itemsize
-            + int(filt_re.size) * 4
+            + 2 * p * 2 * b * filt_rim.dtype.itemsize
             + int(cs.size) * cs.dtype.itemsize
             + int(ab.size) * ab.dtype.itemsize,
             transcendentals=0,
