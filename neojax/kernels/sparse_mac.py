@@ -11,8 +11,11 @@ and flops vanish, which is where the sparse speedup actually comes from
 The ring FDL rotates the filter by one partition per block, so a tile's
 activity depends on the write position: the schedule is precomputed for
 ALL P rotations at filter-setup time (``build_sparse_schedule``) as
-[P, L] coordinate tables, and the kernel scalar-prefetches the current
-position's row. Rows shorter than L are padded with skip-flagged entries.
+[P, L] coordinate tables. The CURRENT position's row ([L] per table) is
+sliced out in XLA before the call and only those rows are scalar-
+prefetched — prefetching the full [P, L] tables overflows SMEM's scoped
+allocation once P is production-sized (3 x s32[960, 12] = 138 KB).
+Rows shorter than L are padded with skip-flagged entries.
 The kernel runs a 1-D grid over the L slots, k-major sorted so each output
 k-tile is revisited consecutively and accumulated in VMEM. k-tiles with no
 active chunk at ANY rotation are never written — the caller zeroes those
@@ -92,17 +95,16 @@ def build_sparse_schedule(mask: np.ndarray, p_chunk: int, k_tile: int):
 
 
 def _mk_kernel(quant: bool, inv_max: float = 1.0):
-    def kernel(pos_ref, k_ref, p_ref, f_ref, *refs):
+    def kernel(k_ref, p_ref, f_ref, *refs):
         del p_ref  # consumed by the index maps only
         if quant:
             fdl_ref, scl_ref, fr_ref, fi_ref, or_ref, oi_ref = refs
         else:
             fdl_ref, fr_ref, fi_ref, or_ref, oi_ref = refs
         i = pl.program_id(0)
-        w = pos_ref[0]
-        flag = f_ref[w, i]
-        prev_k = k_ref[w, jnp.maximum(i - 1, 0)]
-        first = jnp.logical_or(i == 0, prev_k != k_ref[w, i])
+        flag = f_ref[i]
+        prev_k = k_ref[jnp.maximum(i - 1, 0)]
+        first = jnp.logical_or(i == 0, prev_k != k_ref[i])
 
         x = fdl_ref[...].astype(jnp.float32)  # [2, Pc, C, Kt]
         if quant:
@@ -165,25 +167,31 @@ def sparse_fdl_mac_pallas(
     if p % p_chunk:
         raise ValueError(f"P={p} not a multiple of p_chunk={p_chunk}")
     l_max = k_idx.shape[1]
-    pos = jnp.asarray(pos, jnp.int32).reshape(1)
+    # Slice the current rotation's schedule row in XLA (a tiny dynamic
+    # slice) so only 3 x [L] i32 rows ride the SMEM scalar prefetch; the
+    # full [P, L] tables stay in HBM.
+    pos = jnp.asarray(pos, jnp.int32)
+    k_row = jax.lax.dynamic_index_in_dim(k_idx, pos, 0, keepdims=False)
+    p_row = jax.lax.dynamic_index_in_dim(p_idx, pos, 0, keepdims=False)
+    f_row = jax.lax.dynamic_index_in_dim(flags, pos, 0, keepdims=False)
 
     fdl_spec = pl.BlockSpec(
         (2, p_chunk, c, k_tile),
-        lambda i, pos, kI, pI, fl: (0, pI[pos[0], i], 0, kI[pos[0], i]),
+        lambda i, kI, pI, fl: (0, pI[i], 0, kI[i]),
     )
     if cf == 1:
         f_spec = pl.BlockSpec(
             (p_chunk, k_tile),
-            lambda i, pos, kI, pI, fl: (pI[pos[0], i], kI[pos[0], i]),
+            lambda i, kI, pI, fl: (pI[i], kI[i]),
         )
     else:
         f_spec = pl.BlockSpec(
             (p_chunk, cf, k_tile),
-            lambda i, pos, kI, pI, fl: (pI[pos[0], i], 0, kI[pos[0], i]),
+            lambda i, kI, pI, fl: (pI[i], 0, kI[i]),
         )
     out_specs = (
-        pl.BlockSpec((c, k_tile), lambda i, pos, kI, pI, fl: (0, kI[pos[0], i])),
-        pl.BlockSpec((c, k_tile), lambda i, pos, kI, pI, fl: (0, kI[pos[0], i])),
+        pl.BlockSpec((c, k_tile), lambda i, kI, pI, fl: (0, kI[i])),
+        pl.BlockSpec((c, k_tile), lambda i, kI, pI, fl: (0, kI[i])),
     )
     out_shape = (
         jax.ShapeDtypeStruct((c, k), jnp.float32),
@@ -196,7 +204,7 @@ def sparse_fdl_mac_pallas(
 
         inv_max = 1.0 / _INT_MAX[jnp.dtype(fdl.dtype)]
         scl_spec = pl.BlockSpec(
-            (p_chunk, c), lambda i, pos, kI, pI, fl: (pI[pos[0], i], 0)
+            (p_chunk, c), lambda i, kI, pI, fl: (pI[i], 0)
         )
         in_specs = [fdl_spec, scl_spec, f_spec, f_spec]
         args = (fdl, scales, filt_re, filt_im)
@@ -206,7 +214,7 @@ def sparse_fdl_mac_pallas(
         args = (fdl, filt_re, filt_im)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,  # pos, k_idx, p_idx, flags
+        num_scalar_prefetch=3,  # k_row, p_row, f_row ([L] each)
         grid=(l_max,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -217,6 +225,7 @@ def sparse_fdl_mac_pallas(
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=32 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(pos, k_idx, p_idx, flags, *args)
+    )(k_row, p_row, f_row, *args)
