@@ -43,6 +43,10 @@ def _setup_jax():
     # cache makes repeat bench runs start instantly.
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # _signal's length-invariant prefix (the shared SNR oracle depends on
+    # it) holds only under partitionable threefry; pin it explicitly so a
+    # config/env drift can't silently garbage the per-engine SNRs.
+    jax.config.update("jax_threefry_partitionable", True)
     return jax
 
 
@@ -263,6 +267,27 @@ def bench_perblock_sparse(storage="bf16", density=0.3):
     return CHANNELS * nb * BLOCK / dt, dt, nb, None, None
 
 
+# Headline eligibility: an engine must meet the SNR class of its storage
+# (vs the shared f64 UPOLS oracle) — the reference's own tolerance ladder
+# translated to energy SNR on unit-range noise:
+#   f32 split/dense: 1e-5 abs  (allclose.hpp:36-37)        -> >= 90 dB
+#   int16 FDL:       1e-4 abs  (compressed_fdl_test.cpp)   -> >= 74 dB
+#   int8 FDL:        5e-3 abs  (compressed_fdl_test.cpp)   -> >= 46 dB
+#   bf16:            no reference analogue; class = its 8-bit-mantissa
+#                    storage floor (eps/2 = 3.9e-3, int8-adjacent) -> >= 40 dB
+# A faster row that misses its class is still reported — it just can't be
+# the headline (VERDICT r2 #3).
+_SNR_CLASS_DB = {"split": 90.0, "dense": 90.0, "int16": 74.0,
+                 "int8": 46.0, "bf16": 40.0}
+
+
+def _storage_of(name: str) -> str:
+    for part in name.split("/"):
+        if part in _SNR_CLASS_DB:
+            return part
+    return "split"
+
+
 def main():
     jax = _setup_jax()
     on_tpu = jax.default_backend() == "tpu"
@@ -274,6 +299,7 @@ def main():
     oracle = _oracle_head()
 
     engines = {}
+    failed = {}
 
     def record(name, fn):
         try:
@@ -298,17 +324,23 @@ def main():
                 msg += f" roofline {roof:.2f}"
             print(msg, file=sys.stderr)
         except Exception as e:
+            # A broken engine must be VISIBLE in the artifact, not a
+            # silently missing key (that is how BENCH_r02 shipped without
+            # its sparse row): record the failure in the JSON.
+            failed[name] = f"{type(e).__name__}: {e}"[:300]
             print(f"# {name} FAILED: {type(e).__name__}: {e}", file=sys.stderr)
 
     if on_tpu:
         record("nested/int8/S128", partial(bench_nested, "int8", 128))
         record("nested/bf16/S128", partial(bench_nested, "bf16", 128))
         record("nested/int16/S128", partial(bench_nested, "int16", 128))
+        record("nested/split/S128", partial(bench_nested, "split", 128))
         record("chunked/bf16/S128", partial(bench_chunked, "bf16", 128))
         record("hybrid/bf16/S64", partial(bench_hybrid, "bf16", 64))
         record("hybrid/int8/S64", partial(bench_hybrid, "int8", 64))
         record("perblock/bf16/fused", partial(bench_perblock, "bf16", "pallas", True))
         record("perblock/int8/fused", partial(bench_perblock, "int8", "pallas", True))
+        record("perblock/split/fused", partial(bench_perblock, "split", "pallas", True))
         record("perblock/bf16/pallas", partial(bench_perblock, "bf16", "pallas", False))
         record("perblock/bf16/sparse30", partial(bench_perblock_sparse, "bf16", 0.3))
     else:
@@ -316,26 +348,38 @@ def main():
 
     if not engines:
         print(json.dumps({"metric": "error", "value": 0, "unit": "samples/s",
-                          "vs_baseline": 0}))
+                          "vs_baseline": 0, "failed": failed}))
         return
 
-    # sparse rows run a reduced filter — not eligible for the headline
-    dense_keys = [k for k in engines if "sparse" not in k] or list(engines)
-    best_key = max(dense_keys, key=lambda k: engines[k]["samples_per_sec"])
+    # Headline = fastest engine MEETING its storage's SNR class; sparse
+    # rows run a reduced filter and are never eligible. Falls back to the
+    # fastest dense row (flagged) if nothing qualifies.
+    def _qualifies(k):
+        e = engines[k]
+        if "sparse" in k:
+            return False
+        snr = e.get("snr_db_vs_f64")
+        return snr is not None and snr >= _SNR_CLASS_DB[_storage_of(k)]
+
+    qual = [k for k in engines if _qualifies(k)]
+    in_class = bool(qual)
+    if not qual:
+        qual = [k for k in engines if "sparse" not in k] or list(engines)
+    best_key = max(qual, key=lambda k: engines[k]["samples_per_sec"])
     best = engines[best_key]["samples_per_sec"]
-    print(f"# best: {best_key}", file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": "partitioned_conv_64ch_10s_ir_block512_samples_per_sec_per_chip",
-                "value": round(best, 1),
-                "unit": "samples/s",
-                "vs_baseline": round(best / (CHANNELS * SR), 3),
-                "best_engine": best_key,
-                "engines": engines,
-            }
-        )
-    )
+    print(f"# best (snr-class qualified: {in_class}): {best_key}", file=sys.stderr)
+    out = {
+        "metric": "partitioned_conv_64ch_10s_ir_block512_samples_per_sec_per_chip",
+        "value": round(best, 1),
+        "unit": "samples/s",
+        "vs_baseline": round(best / (CHANNELS * SR), 3),
+        "best_engine": best_key,
+        "best_meets_snr_class": in_class,
+        "engines": engines,
+    }
+    if failed:
+        out["failed"] = failed
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

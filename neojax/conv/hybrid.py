@@ -119,7 +119,9 @@ def hybrid_init_state(config: PartitionedConfig, params: dict) -> dict:
         state["meta_fdl"] = jnp.zeros((2, p2t, c, k, 2 * s_t), dtype)
         state["meta_pos"] = jnp.zeros((), jnp.int32)
         if config.storage in ("int8", "int16"):
-            state["meta_scales"] = jnp.ones((p2t, c, k), jnp.float32)
+            state["meta_scales"] = jnp.ones(
+                (p2t, c, k, nested_lib._quant_groups(s_t)), jnp.float32
+            )
         prev_dtype = jnp.bfloat16 if config.storage == "bf16" else jnp.float32
         state["prev_spec"] = jnp.zeros((2, c, k, s), prev_dtype)
         state["tail_frames"] = jnp.zeros((2, c, k, s), jnp.float32)
@@ -213,14 +215,19 @@ def process_hybrid(
             z = jnp.zeros((), mpos.dtype)
             row_f = jnp.stack([xre, xim])
             if quant:
-                peak = jnp.max(jnp.abs(row_f), axis=(0, 3))
+                # group-refined meta-bin scales (see nested._QUANT_GROUPS)
+                g = nested_lib._quant_groups(s)
+                gs = 2 * s // g
+                grp = row_f.reshape(2, c, k, g, gs)
+                peak = jnp.max(jnp.abs(grp), axis=(0, 4))  # [C, K, G]
                 scale = jnp.where(peak > 0, peak, 1.0)
                 q = jnp.clip(
-                    jnp.round(row_f / scale[None, :, :, None] * imax), -imax, imax
-                ).astype(mfdl.dtype)
+                    jnp.round(grp / scale[None, :, :, :, None] * imax),
+                    -imax, imax,
+                ).astype(mfdl.dtype).reshape(2, c, k, 2 * s)
                 mfdl = lax.dynamic_update_slice(mfdl, q[:, None], (z, mpos, z, z, z))
                 mscales = lax.dynamic_update_slice(
-                    mstate["meta_scales"], scale[None], (mpos, z, z)
+                    mstate["meta_scales"], scale[None], (mpos, z, z, z)
                 )
             else:
                 mfdl = lax.dynamic_update_slice(
@@ -248,9 +255,11 @@ def process_hybrid(
                 fi2 = tail_im.astype(jnp.float32)
                 dq = mscales[ages] if quant else None
             if quant:
-                dqv = (dq * (1.0 / imax))[..., None]
-                xr = xr * dqv
-                xi = xi * dqv
+                g = nested_lib._quant_groups(s)
+                gs = 2 * s // g
+                dqv = (dq * (1.0 / imax))[..., None]  # [P2t, C, K, G, 1]
+                xr = (xr.reshape(p2t, c, k, g, gs) * dqv).reshape(p2t, c, k, 2 * s)
+                xi = (xi.reshape(p2t, c, k, g, gs) * dqv).reshape(p2t, c, k, 2 * s)
             acc_re = jnp.sum(xr * fr2 - xi * fi2, axis=0)  # [C, K, 2S]
             acc_im = jnp.sum(xr * fi2 + xi * fr2, axis=0)
 

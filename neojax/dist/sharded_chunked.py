@@ -73,7 +73,9 @@ def shard_nested_state(state: dict, mesh: Mesh) -> dict:
     }
     if "scales" in state:
         out["scales"] = jax.device_put(
-            state["scales"], _named(mesh, None, "ch", None)
+            state["scales"],
+            _named(mesh, *(["ch" if i == 1 else None
+                            for i in range(state["scales"].ndim)])),
         )
     return out
 
