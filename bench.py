@@ -293,9 +293,16 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     print(f"# device: {jax.devices()[0]}", file=sys.stderr)
 
-    from neojax.bench.harness import hbm_peak_bytes_per_sec
+    from neojax.bench.harness import (
+        hbm_achievable_bytes_per_sec,
+        hbm_peak_bytes_per_sec,
+    )
 
     peak = hbm_peak_bytes_per_sec()
+    achievable = hbm_achievable_bytes_per_sec() if on_tpu else None
+    if achievable:
+        print(f"# achievable HBM (read-heavy, this session): "
+              f"{achievable/1e9:.0f} GB/s", file=sys.stderr)
     oracle = _oracle_head()
 
     engines = {}
@@ -314,6 +321,10 @@ def main():
                 engines[name]["snr_db_vs_f64"] = round(snr, 1)
             if roof is not None:
                 engines[name]["roofline_fraction"] = round(roof, 3)
+                if achievable:
+                    engines[name]["roofline_fraction_achievable"] = round(
+                        bpb * nb / dt / achievable, 3
+                    )
             msg = (
                 f"# {name}: {sps/1e6:.1f} M samples/s "
                 f"({dt/nb*1e6:.1f} us/block over {nb} blocks)"
@@ -377,6 +388,8 @@ def main():
         "best_meets_snr_class": in_class,
         "engines": engines,
     }
+    if achievable:
+        out["hbm_achievable_gbps"] = round(achievable / 1e9, 1)
     if failed:
         out["failed"] = failed
     print(json.dumps(out))

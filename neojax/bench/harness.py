@@ -27,6 +27,7 @@ __all__ = [
     "measure",
     "fft_flops",
     "hbm_peak_bytes_per_sec",
+    "hbm_achievable_bytes_per_sec",
     "memcpy_probe",
     "multiply_add_probe",
 ]
@@ -108,6 +109,45 @@ def measure(
 def fft_flops(n: int, batch: int = 1) -> int:
     """The reference's FFT flop model: 5 N log2 N per transform."""
     return int(5 * n * np.log2(n)) * batch
+
+
+def hbm_achievable_bytes_per_sec(
+    nbytes: int = 256 * 1024 * 1024, iters: int = 50
+) -> float:
+    """Measured achievable read-heavy HBM bandwidth, bytes/s.
+
+    Runs an in-jit fori_loop summing 8 resident arrays (read-dominated,
+    minimal VPU work) — the access pattern of the FDL MAC. Single-dispatch
+    probes are useless on remote-tunnel runtimes (~28 ms fixed dispatch),
+    and the SPEC peak is not reachable by any real kernel; roofline
+    fractions against this number say how close a kernel is to what the
+    chip actually delivers for this pattern in this session.
+    """
+    import jax.lax as lax
+
+    n = nbytes // 8 // 4
+    xs = [jnp.full((n,), float(i + 1), jnp.float32) for i in range(8)]
+
+    @jax.jit
+    def loop(*xs):
+        def body(i, acc):
+            s = acc
+            for x in xs:
+                s = s + x
+            return s * 0.999
+
+        return lax.fori_loop(0, iters, body, jnp.zeros((n,), jnp.float32))
+
+    out = loop(*xs)
+    float(jnp.sum(out[:8]))
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = loop(*xs)
+        float(jnp.sum(out[:8]))
+        times.append(time.perf_counter() - t0)
+    dt = min(times) / iters
+    return (nbytes + 2 * n * 4) / dt
 
 
 def memcpy_probe(nbytes: int = 256 * 1024 * 1024) -> BenchResult:
