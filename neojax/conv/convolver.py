@@ -251,6 +251,21 @@ def filter_params(
             params["sp_p_idx"] = jnp.asarray(sched["p_idx"])
             params["sp_flags"] = jnp.asarray(sched["flags"])
             params["sp_lane"] = jnp.asarray(sched["lane_mask"])
+        if config.use_packed:
+            # Chunk-granular schedule for the FUSED sparse step (full-lane
+            # rows, so only the partition axis can be skipped there).
+            from neojax.kernels.fused_step import fused_chunk_rows
+            from neojax.kernels.sparse_mac import build_chunk_schedule
+
+            pcf = fused_chunk_rows(
+                fdl_lib.STORAGE_DTYPES[config.storage],
+                filt.shape[0],
+                config.channels,
+                config.block_size,
+            )
+            csched = build_chunk_schedule(mask, pcf)
+            params["sp_c_idx"] = jnp.asarray(csched["c_idx"])
+            params["sp_c_flags"] = jnp.asarray(csched["flags"])
     return params
 
 
@@ -277,8 +292,8 @@ def _use_split_fft(config: PartitionedConfig) -> bool:
 
 
 def _use_fused(config: PartitionedConfig, params: dict) -> bool:
-    if "sp_k_idx" in params:
-        return False  # the sparse kernel owns masked configs
+    if "sp_k_idx" in params and "sp_c_idx" not in params:
+        return False  # lane-level sparse kernel owns non-packed masked configs
     if config.fused is not None:
         return config.fused
     return (
@@ -412,17 +427,24 @@ def _fused_step(config: PartitionedConfig, params: dict, state: dict, frame):
 
     shared = "filt_rim8" in params
     rim = params["filt_rim8"] if shared else params["filt_rim"]
+    sched = None
+    if "sp_c_idx" in params:
+        sched = (
+            jax.lax.dynamic_index_in_dim(params["sp_c_idx"], pos, 0, False),
+            jax.lax.dynamic_index_in_dim(params["sp_c_flags"], pos, 0, False),
+        )
     fdl = state["fdl"]
     if isinstance(fdl, tuple):
         planes, scales = fdl
         y, new_planes, new_scales = fused_block_step(
             frame, planes, rim, pos, dcfix, cs, ab,
-            jnp.swapaxes(scales, 1, 2), shared_filter=shared,
+            jnp.swapaxes(scales, 1, 2), sched, shared_filter=shared,
         )
         new_fdl = (new_planes, jnp.swapaxes(new_scales, 1, 2))
     else:
         y, new_fdl = fused_block_step(
-            frame, fdl, rim, pos, dcfix, cs, ab, shared_filter=shared
+            frame, fdl, rim, pos, dcfix, cs, ab, None, sched,
+            shared_filter=shared,
         )
     return y, {"fdl": new_fdl, "dcny": new_dcny}
 

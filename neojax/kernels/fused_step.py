@@ -89,9 +89,16 @@ def _dot(a, bm):
 
 
 def _mk_kernel(*, npc: int, pc: int, p: int, c: int, cf: int, b: int, cpad: int,
-               quant: bool, shared: bool, inv_max: float, int_max: float, dt):
+               quant: bool, shared: bool, inv_max: float, int_max: float, dt,
+               n_sched: int = 0):
+    sparse = n_sched > 0
+
     def kernel(pos_ref, frame_ref, fdl_any, rim_any, cs_ref, ab_any,
                dcfix_ref, *rest):
+        if sparse:
+            crow_ref, frow_ref, *rest = rest
+        else:
+            crow_ref = frow_ref = None
         if quant:
             (scl_ref, y_ref, fdl_out, scl_out, qrow_ref, acc_ref, imat_ref,
              fdlbuf, rimbuf, sclrow, dma_sems, wr_sems) = rest
@@ -110,32 +117,42 @@ def _mk_kernel(*, npc: int, pc: int, p: int, c: int, cf: int, b: int, cpad: int,
             r8 = lax.rem(fstart, jnp.asarray(8, jnp.int32))
             base = fstart - r8
 
-        def fdl_dma(slot, j):
+        # Sparse mode: loop step j visits chunk crow[j] (flag-0 pad entries
+        # DMA a valid chunk but skip the accumulate — keeps the prefetch
+        # pipeline branch-free); dense mode: chunk j.
+        def chunk_of(j):
+            return crow_ref[j] if sparse else j
+
+        nloop = n_sched if sparse else npc
+
+        def fdl_dma(slot, cj):
             return pltpu.make_async_copy(
-                fdl_any.at[:, pl.ds(j * pc, pc)], fdlbuf.at[slot],
+                fdl_any.at[:, pl.ds(cj * pc, pc)], fdlbuf.at[slot],
                 dma_sems.at[slot, 0],
             )
 
-        def rim_dma(slot, j):
+        def rim_dma(slot, cj):
             if shared:
-                off = pl.multiple_of(base + j * pc, 8)
+                off = pl.multiple_of(base + cj * pc, 8)
                 src = rim_any.at[r8, pl.ds(off, pc)]
             else:
-                src = rim_any.at[pl.ds(fstart + j * pc, pc)]
+                src = rim_any.at[pl.ds(fstart + cj * pc, pc)]
             return pltpu.make_async_copy(src, rimbuf.at[slot], dma_sems.at[slot, 1])
 
         def start_chunk(slot, j):
-            fdl_dma(slot, j).start()
-            rim_dma(slot, j).start()
+            cj = chunk_of(j)
+            fdl_dma(slot, cj).start()
+            rim_dma(slot, cj).start()
 
         def wait_chunk(slot, j):
-            fdl_dma(slot, j).wait()
-            rim_dma(slot, j).wait()
+            cj = chunk_of(j)
+            fdl_dma(slot, cj).wait()
+            rim_dma(slot, cj).wait()
 
         # Prefetch the first chunks and the inverse matrices; all overlap
         # with the forward transform on the MXU.
         start_chunk(0, 0)
-        if npc > 1:
+        if nloop > 1:
             start_chunk(1, 1)
         ab_copy = pltpu.make_async_copy(ab_any, imat_ref, wr_sems.at[2])
         ab_copy.start()
@@ -172,51 +189,61 @@ def _mk_kernel(*, npc: int, pc: int, p: int, c: int, cf: int, b: int, cpad: int,
         def body(j, carry):
             slot = lax.rem(j, _SLOTS)
 
-            @pl.when(j + 2 < npc)
+            @pl.when(j + 2 < nloop)
             def _():
                 start_chunk(lax.rem(j + 2, _SLOTS), j + 2)
 
             wait_chunk(slot, j)
+            cj = chunk_of(j)
 
             # Patch the freshly-inserted row if this chunk covers it: the
             # HBM read may have raced the row write, and even without a
             # race the pre-insert contents would be stale. (Overwrite, not
             # delta — idempotent under either race outcome.)
-            in_chunk = jnp.logical_and(pos >= j * pc, pos < (j + 1) * pc)
-            local = pos - j * pc
+            in_chunk = jnp.logical_and(pos >= cj * pc, pos < (cj + 1) * pc)
+            local = pos - cj * pc
 
             @pl.when(in_chunk)
             def _():
                 fdlbuf[slot, :, pl.ds(local, 1)] = qrow_ref[...]
 
-            x = fdlbuf[slot].astype(jnp.float32)  # [2, pc, C, B]
-            if quant:
-                s3 = scl_ref[pl.ds(j * pc, pc)]  # [pc, 1, cpad]
-                s = lax.slice(lax.squeeze(s3, (1,)), (0, 0), (pc, c))  # [pc, C]
-                s = jnp.where(
-                    jnp.logical_and(
-                        in_chunk,
-                        lax.broadcasted_iota(jnp.int32, (pc, c), 0) == local,
-                    ),
-                    scale[None],
-                    s,
-                )
-                x = x * (s * inv_max)[None, :, :, None]
-            # NB: mixed None+slice basic indexing (rim[:, None, :b]) lowers
-            # to a gather Mosaic rejects inside fori bodies — use lax.slice.
-            rim = rimbuf[slot].astype(jnp.float32)
-            if shared:
-                fr = lax.slice(rim, (0, 0), (pc, b))[:, None]
-                fi = lax.slice(rim, (0, b), (pc, 2 * b))[:, None]
+            def accumulate():
+                x = fdlbuf[slot].astype(jnp.float32)  # [2, pc, C, B]
+                if quant:
+                    s3 = scl_ref[pl.ds(cj * pc, pc)]  # [pc, 1, cpad]
+                    s = lax.slice(lax.squeeze(s3, (1,)), (0, 0), (pc, c))
+                    s = jnp.where(
+                        jnp.logical_and(
+                            in_chunk,
+                            lax.broadcasted_iota(jnp.int32, (pc, c), 0) == local,
+                        ),
+                        scale[None],
+                        s,
+                    )
+                    x = x * (s * inv_max)[None, :, :, None]
+                # NB: mixed None+slice basic indexing (rim[:, None, :b])
+                # lowers to a gather Mosaic rejects inside fori bodies —
+                # use lax.slice.
+                rim = rimbuf[slot].astype(jnp.float32)
+                if shared:
+                    fr = lax.slice(rim, (0, 0), (pc, b))[:, None]
+                    fi = lax.slice(rim, (0, b), (pc, 2 * b))[:, None]
+                else:
+                    fr = lax.slice(rim, (0, 0, 0), (pc, cf, b))
+                    fi = lax.slice(rim, (0, 0, b), (pc, cf, 2 * b))
+                xr, xi = x[0], x[1]
+                acc_ref[0] += jnp.sum(xr * fr - xi * fi, axis=0)
+                acc_ref[1] += jnp.sum(xr * fi + xi * fr, axis=0)
+
+            if sparse:
+                @pl.when(frow_ref[j] == 1)
+                def _():
+                    accumulate()
             else:
-                fr = lax.slice(rim, (0, 0, 0), (pc, cf, b))
-                fi = lax.slice(rim, (0, 0, b), (pc, cf, 2 * b))
-            xr, xi = x[0], x[1]
-            acc_ref[0] += jnp.sum(xr * fr - xi * fi, axis=0)
-            acc_ref[1] += jnp.sum(xr * fi + xi * fr, axis=0)
+                accumulate()
             return carry
 
-        lax.fori_loop(0, npc, body, 0)
+        lax.fori_loop(0, nloop, body, 0)
 
         # ---- exact DC/Nyquist lane-0 overwrite
         dcfix = dcfix_ref[...]  # [2, C]
@@ -260,9 +287,12 @@ def shift8_filter(filt_tiled):
     return np.stack([pad[r : r + rows] for r in range(8)])
 
 
-@functools.partial(jax.jit, static_argnames=("shared_filter", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("shared_filter", "interpret")
+)
 def fused_block_step(frame, fdl, filt_rim, pos, dcfix, cs, ab,
-                     scales=None, *, shared_filter, interpret=False):
+                     scales=None, sched=None, *, shared_filter,
+                     interpret=False):
     """One fused streaming block step over the packed-layout ring FDL.
 
     frame   : [C, N] f32 (UPOLS sliding window / UPOLA zero-padded block)
@@ -275,6 +305,11 @@ def fused_block_step(frame, fdl, filt_rim, pos, dcfix, cs, ab,
     cs      : [2, N, B] forward packed-DFT matrices (cos | sin)
     ab      : [2, B, N] inverse packed-DFT matrices (1/N folded)
     scales  : [P, 1, C] f32 (int8/int16 storages only)
+    sched   : optional (c_row [L] i32, f_row [L] i32) — THIS position's row
+              of ``sparse_mac.build_chunk_schedule`` tables: the kernel
+              visits only the listed partition chunks (chunk-granular
+              sparsity; masked filter bins are already zero, so skipped
+              chunks contribute exactly nothing).
 
     Returns (y [C, N] f32, new_fdl) or (y, new_fdl, new_scales).
     """
@@ -288,6 +323,7 @@ def fused_block_step(frame, fdl, filt_rim, pos, dcfix, cs, ab,
     inv_max = 1.0 / int_max if quant else 1.0
     pc = fused_chunk_rows(dt, p, c, b)
     npc = p // pc
+    n_sched = 0 if sched is None else int(sched[0].shape[0])
     # Scales are lane-padded to a 128 multiple: Mosaic requires the row
     # writeback slice (and VMEM loads) to be tile-aligned along lanes.
     cpad = -(-c // 128) * 128
@@ -301,7 +337,7 @@ def fused_block_step(frame, fdl, filt_rim, pos, dcfix, cs, ab,
     kernel = _mk_kernel(
         npc=npc, pc=pc, p=p, c=c, cf=cf, b=b, cpad=cpad,
         quant=quant, shared=shared_filter,
-        inv_max=inv_max, int_max=int_max, dt=dt,
+        inv_max=inv_max, int_max=int_max, dt=dt, n_sched=n_sched,
     )
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -315,6 +351,10 @@ def fused_block_step(frame, fdl, filt_rim, pos, dcfix, cs, ab,
 
     in_specs = [smem, vmem, anym, hbm, vmem, anym, vmem]
     args = [pos_arr, frame, fdl, filt_rim, cs, ab, dcfix]
+    if n_sched:
+        in_specs += [smem, smem]
+        args += [jnp.asarray(sched[0], jnp.int32),
+                 jnp.asarray(sched[1], jnp.int32)]
     out_shape = [
         jax.ShapeDtypeStruct((c, n), jnp.float32),
         jax.ShapeDtypeStruct(fdl.shape, dt),
@@ -326,7 +366,7 @@ def fused_block_step(frame, fdl, filt_rim, pos, dcfix, cs, ab,
         args.append(scales)
         out_shape.append(jax.ShapeDtypeStruct((p, 1, cpad), jnp.float32))
         out_specs.append(hbm)
-        aliases[7] = 2
+        aliases[len(args) - 1] = 2  # scales input (index shifts w/ sched)
 
     rshape = (pc, 2 * b) if shared_filter else (pc, cf, 2 * b)
     scratch = [

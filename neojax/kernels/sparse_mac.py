@@ -33,7 +33,57 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["build_sparse_schedule", "sparse_fdl_mac_pallas"]
+__all__ = [
+    "build_sparse_schedule",
+    "build_chunk_schedule",
+    "sparse_fdl_mac_pallas",
+]
+
+
+def build_chunk_schedule(mask: np.ndarray, p_chunk: int):
+    """Chunk-level (partition-axis only) sparse schedule for the FUSED step.
+
+    The fused kernel reads full-lane FDL rows, so only partition-chunk
+    granularity can be skipped there. ``mask`` [P, K] or [P, C', K] ->
+    ``{"c_idx": [P, L] i32, "flags": [P, L] i32, "density": float}`` where
+    row ``w`` lists the chunk indices (ascending) containing at least one
+    ring slot whose rotated filter partition is unmasked at write position
+    ``w``. Padded with flag-0 entries pointing at the last real chunk
+    (valid DMA target, accumulate skipped).
+    """
+    mask = np.asarray(mask, bool)
+    if mask.ndim == 3:
+        mask = mask.any(axis=1)
+    active_part = mask.any(axis=1)  # [P]
+    p = active_part.shape[0]
+    if p % p_chunk:
+        raise ValueError(f"P={p} not a multiple of p_chunk={p_chunk}")
+    npc = p // p_chunk
+
+    rev = active_part[::-1]
+    tiled = np.concatenate([rev, rev], axis=0)
+    rows = []
+    for w in range(p):
+        rot = tiled[p - 1 - w : 2 * p - 1 - w]  # rot[i] = active[(w - i) % P]
+        act = rot.reshape(npc, p_chunk).any(axis=1)
+        rows.append(np.nonzero(act)[0])
+    lengths = [len(r) for r in rows]
+    l_max = max(lengths)
+    if l_max == 0:
+        raise ValueError("empty sparsity mask: no active partitions")
+    c_idx = np.zeros((p, l_max), np.int32)
+    flags = np.zeros((p, l_max), np.int32)
+    for w, cc in enumerate(rows):
+        n = len(cc)
+        c_idx[w, :n] = cc
+        flags[w, :n] = 1
+        if n < l_max:
+            c_idx[w, n:] = cc[-1] if n else 0
+    return {
+        "c_idx": c_idx,
+        "flags": flags,
+        "density": float(np.mean(lengths) / npc),
+    }
 
 
 def build_sparse_schedule(mask: np.ndarray, p_chunk: int, k_tile: int):

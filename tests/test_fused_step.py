@@ -103,3 +103,40 @@ def test_shift8_filter_rows():
         rows = max(0, 6 - r)
         np.testing.assert_array_equal(s8[r, :rows], f[r : r + rows])
         np.testing.assert_array_equal(s8[r, rows:], 0)
+
+
+@pytest.mark.parametrize("storage", ["split", "bf16", "int8"])
+def test_fused_sparse_matches_masked_dense(fused_interpret, rng, storage):
+    """Chunk-granular fused sparsity (r3): a partition band mask routed
+    through the fused kernel's schedule must equal streaming the SAME
+    masked filter through the dense fused path — skipped chunks carry
+    only zeroed filter bins, so the results differ by nothing but float
+    noise. Mask keeps the first 3 of 8 partitions (IR truncation, the
+    bench row's structure; reference sparse semantics
+    ``src/neo/convolution/sparse_filter.hpp:16``)."""
+    b, p, c = 64, 8, 4
+    parts = _mk(rng, p, b + 1)
+    mask = np.zeros((p, b + 1), bool)
+    mask[:3] = True
+    sig = rng.uniform(-1, 1, (c, 8 * b)).astype(np.float32)
+
+    # Tiny shapes would fit the whole FDL in one chunk (pc == P), making
+    # the schedule a no-op; shrink the chunk target so the ring splits
+    # into 4 chunks and skipping actually happens.
+    saved = fused_step._CHUNK_TARGET
+    fused_step._CHUNK_TARGET = 2 * c * b * 4 * 2  # 2 rows/chunk
+    try:
+        cfg = cv.PartitionedConfig(b, p, c, storage=storage, fused=True)
+        params_s = cv.filter_params(cfg, parts, sparsity=mask)
+        assert "sp_c_idx" in params_s
+        assert params_s["sp_c_idx"].shape[1] < p // 2  # chunks are skipped
+        state = cv.init_state(cfg)
+        _, out_s = cv.process(cfg, params_s, state, jnp.asarray(sig))
+
+        masked = np.where(mask[None], parts, 0)
+        out_d = _run(cfg, masked, sig)
+    finally:
+        fused_step._CHUNK_TARGET = saved
+        jax.clear_caches()
+    scale = max(1e-6, np.abs(out_d).max())
+    assert np.abs(np.asarray(out_s) - out_d).max() / scale < _TOL[storage]
