@@ -554,6 +554,127 @@ def step(config: PartitionedConfig, params: dict, state: dict, block: jnp.ndarra
     return new_state, out
 
 
+def _dcfix_sequence(config: PartitionedConfig, params: dict, dcny, pos0, sigpad):
+    """Per-block exact DC/Nyquist accumulators for a whole UPOLS stream.
+
+    The side-carry MAC ``dcfix_i = sum_a F[a] * pair_{i-a}`` is a plain
+    1-D correlation of the per-block (dc, ny) frame sums with the side
+    filter — no scan needed. ``pair_{j<0}`` terms come from the incoming
+    ring state. Returns (dcfix_all [nb, 2, C], new_dcny ring).
+    """
+    b = config.block_size
+    p = config.num_partitions
+    c = sigpad.shape[0]
+    nb = sigpad.shape[1] // b - 1
+
+    blocks = sigpad.reshape(c, nb + 1, b)
+    alt = jnp.where(jnp.arange(b) % 2 == 0, 1.0, -1.0)
+    bs = jnp.sum(blocks, axis=-1)  # [C, nb+1]
+    na = jnp.sum(blocks * alt, axis=-1)
+    # frame i = [block i | block i+1]; B is even so the +/- pattern of the
+    # second half continues the first.
+    dc = bs[:, :-1] + bs[:, 1:]  # [C, nb]
+    ny = na[:, :-1] + na[:, 1:]
+    pairs = jnp.stack([dc.T, ny.T], axis=-1)  # [nb, C, 2]
+
+    # history (ages 1..P-1 before block 0), oldest first
+    tidx = jnp.mod(pos0 + 1 + jnp.arange(p - 1), p)
+    hist = dcny[tidx]  # [P-1, C, 2]
+    seq = jnp.concatenate([hist, pairs], axis=0)  # [P-1+nb, C, 2]
+
+    # correlation kernel: tiled[:P] is the REVERSED original filter, which
+    # is exactly the cross-correlation kernel for sum_a F[a]*seq[i-a].
+    ker = params["filt_dcny"][:p]  # [P, C', 2]
+    ker = jnp.broadcast_to(ker, (p, c, 2))
+    lhs = jnp.moveaxis(seq, 0, -1).reshape(1, c * 2, p - 1 + nb)
+    rhs = jnp.moveaxis(ker, 0, -1).reshape(c * 2, 1, p)
+    fix = jax.lax.conv_general_dilated(
+        lhs, rhs, (1,), "VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=c * 2,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [1, C*2, nb]
+    dcfix_all = jnp.moveaxis(fix.reshape(c, 2, nb), -1, 0)  # [nb, C, 2]
+    dcfix_all = jnp.swapaxes(dcfix_all, 1, 2)  # [nb, 2, C]
+
+    tail_n = min(p, nb)
+    idxs = jnp.mod(pos0 + nb - tail_n + jnp.arange(tail_n), p)
+    new_dcny = dcny.at[idxs].set(pairs[nb - tail_n :])
+    return dcfix_all, new_dcny
+
+
+def _process_fused_stream(config, params, state, blocks, length):
+    """Whole-stream fused path: ONE pallas_call for the entire scan
+    (kernels.fused_step.fused_stream) — constants load once, no per-block
+    XLA glue. UPOLS + packed ring only; exactness contract matches the
+    per-block fused step (same kernel math, same insert/MAC schedule)."""
+    from neojax.kernels.fused_step import fused_stream
+
+    b = config.block_size
+    p = config.num_partitions
+    c = config.channels
+    n = config.transform_size
+    nb = blocks.shape[0]
+    pos0 = state["pos"]
+
+    sig = jnp.moveaxis(blocks, 0, 1).reshape(c, nb * b)
+    sigpad = jnp.concatenate([state["tail"], sig], axis=-1)
+    dcfix_all, new_dcny = _dcfix_sequence(
+        config, params, state["dcny"], pos0, sigpad
+    )
+
+    cs_np, ab_np = matmul_backend.packed_mats_np(n)
+    mat_dt = jnp.bfloat16 if config.storage in ("bf16", "int8") else jnp.float32
+    cs = jnp.asarray(cs_np, mat_dt)
+    abt = jnp.asarray(ab_np[:, :, b:], mat_dt)  # tail-half inverse columns
+
+    sched = None
+    if "sp_c_idx" in params:
+        rows = jnp.mod(pos0 + jnp.arange(nb), p)
+        ci = params["sp_c_idx"][rows]
+        fl = params["sp_c_flags"][rows]
+        # overlapping (step i, step i+1) row pairs — kernel blocks stride
+        # by shape, so the lookahead row is materialized per step; the
+        # final step gets a dummy zero-count lookahead. Counts travel as
+        # scalars (SMEM vector loads are not a thing).
+        ci1 = jnp.concatenate([ci[1:], ci[-1:]], axis=0)
+        n = jnp.sum(fl, axis=1, dtype=jnp.int32)
+        n1 = jnp.concatenate([n[1:], jnp.zeros((1,), jnp.int32)], axis=0)
+        sched = (
+            jnp.stack([ci, ci1], axis=1),  # [nb, 2, L]
+            jnp.stack([n, n1], axis=1)[:, None],  # [nb, 1, 2]
+        )
+
+    shared = "filt_rim8" in params
+    rim = params["filt_rim8"] if shared else params["filt_rim"]
+    fdl = state["fdl"]
+    cpad = -(-c // 128) * 128
+    if isinstance(fdl, tuple):
+        planes, scales = fdl
+        scl = jnp.pad(
+            scales[:, :, 0], ((0, 0), (0, cpad - c)), constant_values=1.0
+        )
+        out, new_planes, new_scl = fused_stream(
+            sigpad, planes, rim, pos0, dcfix_all, cs, abt, scl, sched,
+            shared_filter=shared,
+        )
+        new_fdl = (new_planes, new_scl[:, :c, None])
+    else:
+        out, new_fdl = fused_stream(
+            sigpad, fdl, rim, pos0, dcfix_all, cs, abt, None, sched,
+            shared_filter=shared,
+        )
+
+    new_state = dict(state)
+    new_state.update(
+        tail=sig[:, -b:],
+        fdl=new_fdl,
+        dcny=new_dcny,
+        pos=jnp.mod(pos0 + nb, p),
+    )
+    return new_state, out[:, :length]
+
+
 def process(
     config: PartitionedConfig, params: dict, state: dict, signal: jnp.ndarray
 ):
@@ -563,6 +684,17 @@ def process(
     if squeeze:
         signal = signal[None]
     blocks, length = stream_blocks(signal, config.block_size)
+
+    if (
+        config.scheme == "upols"
+        and config.layout == "ring"
+        and blocks.shape[0] > 0
+        and _use_fused(config, params)
+    ):
+        state, out = _process_fused_stream(config, params, state, blocks, length)
+        if squeeze:
+            out = out[0]
+        return state, out
 
     def body(carry, blk):
         new_carry, out = step(config, params, carry, blk)

@@ -50,7 +50,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from neojax.kernels.fdl_mac import _INT_MAX
 
-__all__ = ["fused_block_step", "fused_chunk_rows", "shift8_filter"]
+__all__ = [
+    "fused_block_step",
+    "fused_stream",
+    "fused_chunk_rows",
+    "shift8_filter",
+]
 
 # Target bytes per FDL chunk DMA (per buffer slot).
 _CHUNK_TARGET = 4 * 1024 * 1024
@@ -406,4 +411,378 @@ def fused_block_step(frame, fdl, filt_rim, pos, dcfix, cs, ab,
     if quant:
         y, new_fdl, new_scl = out
         return y, new_fdl, new_scl[..., :c]
+    return tuple(out)
+
+
+# --------------------------------------------------------------------------
+# Whole-stream fused kernel: grid over blocks, constants loaded ONCE.
+#
+# The per-call ``fused_block_step`` re-reads the DFT matrices every block
+# (~8 MB) and pays XLA glue around each pallas_call; at the headline config
+# those fixed costs are ~60 us of a ~235 us block. This kernel runs the
+# WHOLE scan inside one pallas_call with grid=(nb,):
+#
+#   - cs / ab-tail matrices are VMEM inputs with constant index maps —
+#     Pallas's revisiting rule fetches them exactly once;
+#   - the UPOLS sliding window is a manual double-buffered DMA straight out
+#     of [tail | signal] (overlapping windows cannot be BlockSpec'd);
+#   - the DC/Nyquist lane-0 fixup for EVERY block is precomputed outside as
+#     one depthwise convolution along the block axis (the side-carry is a
+#     linear recurrence over per-block sums — no scan needed);
+#   - the FDL ring (and quant scale table) lives in HBM/VMEM across steps,
+#     input-output aliased; step i's row write is drained before step i+1's
+#     first chunk DMA starts, so cross-step reads are race-free;
+#   - the inverse transform uses only the LAST-B columns of the inverse
+#     matrices (UPOLS discards the head), halving that matmul and read.
+#
+# Sparse chunk schedules ride along: rows for steps i and i+1 arrive as a
+# (2, L) SMEM block per step (i+1's row is needed to prefetch its first
+# chunks before the grid advances).
+# --------------------------------------------------------------------------
+
+
+def _rem(a, b):
+    """Dtype-safe modulo (interpret mode traces indices as int64)."""
+    a = jnp.asarray(a)
+    return lax.rem(a, jnp.asarray(b, a.dtype))
+
+
+def _mk_stream_kernel(*, nb: int, npc: int, pc: int, p: int, c: int, cf: int,
+                      b: int, cpad: int, quant: bool, shared: bool,
+                      inv_max: float, int_max: float, dt, n_sched: int,
+                      interpret_seed: bool):
+    sparse = n_sched > 0
+    n = 2 * b
+
+    def kernel(pos0_ref, sig_any, fdl_any, rim_any, cs_ref, abt_ref,
+               dcfix_ref, *rest):
+        if sparse:
+            crow_ref, *rest = rest  # (1, 2, L) block: rows for steps i, i+1
+            ncnt_ref, *rest = rest  # (1, 1, 2) block: active counts i, i+1
+        else:
+            crow_ref = ncnt_ref = None
+        if quant:
+            (scl_in, out_ref, fdl_out, scl_out, winbuf, qrow_ref, acc_ref,
+             sclbuf, fdlbuf, rimbuf, win_sems, dma_sems, wr_sems) = rest
+        else:
+            (out_ref, fdl_out, winbuf, qrow_ref, acc_ref,
+             fdlbuf, rimbuf, win_sems, dma_sems, wr_sems) = rest
+            scl_in = scl_out = sclbuf = None
+
+        i = pl.program_id(0)
+        pos = _rem(pos0_ref[0] + i, p)
+        # Sparse rows are flag-sorted (1s then 0s): the dynamic trip count
+        # skips the pad entries' DMAs entirely.
+        if sparse:
+            nloop = ncnt_ref[0, 0, 0]
+            nloop_next = ncnt_ref[0, 0, 1]
+        else:
+            nloop = npc
+            nloop_next = npc
+
+        def chunk_of(row, jj):
+            return crow_ref[0, row, jj] if sparse else jj
+
+        def rot_params(pos_v):
+            fstart = p - 1 - pos_v
+            if shared:
+                r8 = _rem(fstart, 8)
+                return fstart, r8, fstart - r8
+            return fstart, None, None
+
+        def fdl_dma(slot, cj):
+            return pltpu.make_async_copy(
+                fdl_out.at[:, pl.ds(cj * pc, pc)], fdlbuf.at[slot],
+                dma_sems.at[slot, 0],
+            )
+
+        def rim_dma(slot, cj, fstart, r8, base):
+            if shared:
+                off = pl.multiple_of(base + cj * pc, 8)
+                src = rim_any.at[r8, pl.ds(off, pc)]
+            else:
+                src = rim_any.at[pl.ds(fstart + cj * pc, pc)]
+            return pltpu.make_async_copy(src, rimbuf.at[slot], dma_sems.at[slot, 1])
+
+        def start_chunk(slot, row, jj, rot):
+            cj = chunk_of(row, jj)
+            fdl_dma(slot, cj).start()
+            rim_dma(slot, cj, *rot).start()
+
+        def wait_chunk(slot, row, jj):
+            cj = chunk_of(row, jj)
+            fdl_dma(slot, cj).wait()
+            # the rim wait needs only the semaphore; rotation args are
+            # irrelevant for the wait but must be shape-consistent
+            rim_dma(slot, cj, jnp.zeros((), jnp.int32),
+                    jnp.zeros((), jnp.int32) if shared else None,
+                    jnp.zeros((), jnp.int32) if shared else None).wait()
+
+        rot_i = rot_params(pos)
+
+        def win_dma(slot, j):
+            return pltpu.make_async_copy(
+                sig_any.at[:, pl.ds(j * b, n)], winbuf.at[slot],
+                win_sems.at[slot],
+            )
+
+        # Step 0: kick off everything this step needs + load scales.
+        @pl.when(i == 0)
+        def _():
+            if interpret_seed:
+                # interpret mode does not alias input/output buffers;
+                # seed the output ring from the input explicitly.
+                seed = pltpu.make_async_copy(fdl_any, fdl_out, wr_sems.at[0])
+                seed.start()
+                seed.wait()
+            win_dma(0, 0).start()
+            start_chunk(0, 0, 0, rot_i)
+            if sparse:
+                @pl.when(nloop > 1)
+                def _():
+                    start_chunk(1, 0, 1, rot_i)
+            elif npc > 1:
+                start_chunk(1, 0, 1, rot_i)
+            if quant:
+                cp = pltpu.make_async_copy(scl_in, sclbuf, wr_sems.at[1])
+                cp.start()
+                cp.wait()
+
+        @pl.when(i + 1 < nb)
+        def _():
+            win_dma(_rem(i + 1, 2), i + 1).start()
+
+        win_dma(_rem(i, 2), i).wait()
+
+        # ---- forward rfft (packed) on the MXU
+        frame = winbuf[_rem(i, 2)].astype(cs_ref.dtype)
+        spec_re = _dot(frame, cs_ref[0])  # [C, B] f32 accum
+        spec_im = _dot(frame, cs_ref[1])
+
+        # ---- quantize + ring insert at row `pos`
+        if quant:
+            peak = jnp.maximum(
+                jnp.max(jnp.abs(spec_re), axis=-1),
+                jnp.max(jnp.abs(spec_im), axis=-1),
+            )
+            scale = jnp.where(peak > 0, peak, 1.0)
+            q = jnp.stack([spec_re, spec_im]) / scale[None, :, None] * int_max
+            qrow = jnp.clip(jnp.round(q), -int_max, int_max).astype(dt)
+        else:
+            scale = None
+            qrow = jnp.stack([spec_re, spec_im]).astype(dt)
+        qrow_ref[...] = qrow[:, None]
+
+        row_wr = pltpu.make_async_copy(
+            qrow_ref, fdl_out.at[:, pl.ds(pos, 1)], wr_sems.at[0]
+        )
+        row_wr.start()
+        if quant:
+            scale_pad = jnp.concatenate(
+                [scale, jnp.ones((cpad - c,), jnp.float32)]
+            )
+            sclbuf[pl.ds(pos, 1)] = scale_pad[None]
+
+        # ---- MAC-reduce over (scheduled) partition chunks
+        acc_ref[...] = jnp.zeros((2, c, b), jnp.float32)
+
+        def body(j, carry):
+            slot = _rem(j, _SLOTS)
+
+            @pl.when(j + 2 < nloop)
+            def _():
+                start_chunk(_rem(j + 2, _SLOTS), 0, j + 2, rot_i)
+
+            wait_chunk(slot, 0, j)
+            cj = chunk_of(0, j)
+            in_chunk = jnp.logical_and(pos >= cj * pc, pos < (cj + 1) * pc)
+            local = pos - cj * pc
+
+            @pl.when(in_chunk)
+            def _():
+                fdlbuf[slot, :, pl.ds(local, 1)] = qrow_ref[...]
+
+            def accumulate():
+                x = fdlbuf[slot].astype(jnp.float32)
+                if quant:
+                    s = lax.slice(
+                        sclbuf[pl.ds(cj * pc, pc)], (0, 0), (pc, c)
+                    )  # [pc, C] (freshly updated row included)
+                    x = x * (s * inv_max)[None, :, :, None]
+                rim = rimbuf[slot].astype(jnp.float32)
+                if shared:
+                    fr = lax.slice(rim, (0, 0), (pc, b))[:, None]
+                    fi = lax.slice(rim, (0, b), (pc, 2 * b))[:, None]
+                else:
+                    fr = lax.slice(rim, (0, 0, 0), (pc, cf, b))
+                    fi = lax.slice(rim, (0, 0, b), (pc, cf, 2 * b))
+                xr, xi = x[0], x[1]
+                acc_ref[0] += jnp.sum(xr * fr - xi * fi, axis=0)
+                acc_ref[1] += jnp.sum(xr * fi + xi * fr, axis=0)
+
+            accumulate()
+            return carry
+
+        lax.fori_loop(0, nloop, body, 0, unroll=False)
+
+        # Drain the row write, then pre-start step i+1's first chunks (the
+        # ordering makes cross-step FDL reads race-free).
+        row_wr.wait()
+
+        @pl.when(i + 1 < nb)
+        def _():
+            pos_n = _rem(pos + 1, p)
+            rot_n = rot_params(pos_n)
+            start_chunk(0, 1, 0, rot_n)
+            if sparse:
+                @pl.when(nloop_next > 1)
+                def _():
+                    start_chunk(1, 1, 1, rot_n)
+            elif npc > 1:
+                start_chunk(1, 1, 1, rot_n)
+
+        # ---- exact DC/Nyquist lane-0 overwrite (precomputed outside)
+        dcfix = dcfix_ref[0]  # [2, C]
+        lane0 = lax.broadcasted_iota(jnp.int32, (c, b), 1) == 0
+        acc_re = jnp.where(lane0, dcfix[0][:, None], acc_ref[0])
+        acc_im = jnp.where(lane0, dcfix[1][:, None], acc_ref[1])
+
+        # ---- inverse rfft, tail half only (UPOLS output block)
+        out_ref[...] = _dot(acc_re.astype(abt_ref.dtype), abt_ref[0]) + _dot(
+            acc_im.astype(abt_ref.dtype), abt_ref[1]
+        )
+
+        # ---- write back the scale table on the last step
+        if quant:
+            @pl.when(i == nb - 1)
+            def _():
+                cp = pltpu.make_async_copy(sclbuf, scl_out, wr_sems.at[1])
+                cp.start()
+                cp.wait()
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("shared_filter", "interpret")
+)
+def fused_stream(sigpad, fdl, filt_rim, pos0, dcfix_all, cs, abt,
+                 scales=None, sched=None, *, shared_filter, interpret=False):
+    """Stream nb UPOLS blocks through ONE fused pallas_call (grid=(nb,)).
+
+    sigpad   : [C, (nb+1)*B] f32 — [previous tail | signal]
+    fdl      : [2, P, C, B] storage dtype, ring layout (aliased in place)
+    filt_rim : as ``fused_block_step``
+    pos0     : int32 ring write position of the FIRST block
+    dcfix_all: [nb, 2, C] f32 — per-block exact DC/Nyquist accumulators
+               (precomputed; see ``conv.convolver._dcfix_sequence``)
+    cs       : [2, N, B] forward packed-DFT matrices
+    abt      : [2, B, B] inverse matrices, LAST-B columns only (tail half)
+    scales   : [P, cpad] f32 (int8/int16; cpad = 128-padded channels)
+    sched    : optional ([nb, 2, L] c_idx, [nb, 1, 2] counts) —
+               PRE-ROTATED chunk-schedule row PAIRS (entry [i, 0] is step
+               i's row, [i, 1] step i+1's, dummy for the last step) and the
+               active-entry count per row (Mosaic can only load scalars
+               from SMEM, so the count rides along precomputed); see
+               ``conv.convolver._process_fused_stream``.
+
+    Returns (out [C, nb*B], new_fdl) (+ new_scales [P, cpad] if quant).
+    """
+    interpret = interpret or _INTERPRET
+    c = sigpad.shape[0]
+    _, p, _, b = fdl.shape
+    n = 2 * b
+    nb = sigpad.shape[1] // b - 1
+    cf = 1 if shared_filter else filt_rim.shape[1]
+    dt = fdl.dtype
+    quant = scales is not None
+    int_max = float(_INT_MAX[jnp.dtype(dt)]) if quant else 0.0
+    inv_max = 1.0 / int_max if quant else 1.0
+    pc = fused_chunk_rows(dt, p, c, b)
+    npc = p // pc
+    n_sched = 0 if sched is None else int(sched[0].shape[2])
+    cpad = -(-c // 128) * 128
+
+    kernel = _mk_stream_kernel(
+        nb=nb, npc=npc, pc=pc, p=p, c=c, cf=cf, b=b, cpad=cpad,
+        quant=quant, shared=shared_filter,
+        inv_max=inv_max, int_max=int_max, dt=dt, n_sched=n_sched,
+        interpret_seed=interpret,
+    )
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    anym = pl.BlockSpec(memory_space=pl.ANY)
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    const = lambda *shape: pl.BlockSpec(  # noqa: E731 — fetched once
+        shape, lambda i: (0,) * len(shape)
+    )
+
+    pos_arr = jnp.asarray(pos0, jnp.int32).reshape(1)
+    in_specs = [
+        smem,                                   # pos0
+        anym,                                   # sigpad (windowed manually)
+        anym,                                   # fdl
+        hbm,                                    # filt_rim
+        const(2, n, b),                         # cs (loaded once)
+        const(2, b, b),                         # abt (loaded once)
+        pl.BlockSpec((1, 2, c), lambda i: (i, 0, 0)),  # dcfix rows
+    ]
+    args = [pos_arr, sigpad, fdl, filt_rim, cs, abt, dcfix_all]
+    if n_sched:
+        # rows for steps i and i+1, PRE-PAIRED: blocks stride by their
+        # shape, so overlapping (i, i+1) windows must be materialized as
+        # [nb, 2, L] outside.
+        srow = pl.BlockSpec(
+            (1, 2, n_sched), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
+        )
+        # [nb, 1, 2] so the BLOCK's last two dims equal the array's
+        scnt = pl.BlockSpec(
+            (1, 1, 2), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
+        )
+        in_specs += [srow, scnt]
+        args += [jnp.asarray(sched[0], jnp.int32),
+                 jnp.asarray(sched[1], jnp.int32)]
+    out_shape = [
+        jax.ShapeDtypeStruct((c, nb * b), jnp.float32),
+        jax.ShapeDtypeStruct(fdl.shape, dt),
+    ]
+    out_specs = [pl.BlockSpec((c, b), lambda i: (0, i)), anym]
+    aliases = {2: 1}
+    if quant:
+        in_specs.append(anym)
+        args.append(scales)
+        out_shape.append(jax.ShapeDtypeStruct((p, cpad), jnp.float32))
+        out_specs.append(anym)
+        aliases[len(args) - 1] = 2
+
+    rshape = (pc, 2 * b) if shared_filter else (pc, cf, 2 * b)
+    scratch = [
+        pltpu.VMEM((2, c, n), jnp.float32),            # window slots
+        pltpu.VMEM((2, 1, c, b), dt),                  # qrow
+        pltpu.VMEM((2, c, b), jnp.float32),            # acc
+    ]
+    if quant:
+        scratch.append(pltpu.VMEM((p, cpad), jnp.float32))  # scale table
+    scratch += [
+        pltpu.VMEM((_SLOTS, 2, pc, c, b), dt),         # fdl chunk slots
+        pltpu.VMEM((_SLOTS,) + rshape, filt_rim.dtype),  # filter slots
+        pltpu.SemaphoreType.DMA((2,)),                 # window sems
+        pltpu.SemaphoreType.DMA((_SLOTS, 2)),          # chunk sems
+        pltpu.SemaphoreType.DMA((2,)),                 # row / scales sems
+    ]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
     return tuple(out)

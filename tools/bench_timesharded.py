@@ -26,11 +26,14 @@ halo is exactly that state's input preimage.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from functools import partial
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _setup():
