@@ -17,9 +17,13 @@ needs only the trailing P*B samples of its predecessor's shard — one
 warmup steps (rfft + FDL insert, no partition MAC): the cheap part of the
 step. For UPOLA the overlap tail additionally requires one full step on
 the last halo block (its output is discarded). Warmup cost per device is
-O(P) rffts against O(m*P) MAC work for the stream — negligible for
-m >> 1 — and the exchange itself is a single message that XLA schedules
-ahead of the warmup's data dependency.
+O(P) rffts against O(m*P) MAC work for the stream, and the exchange
+itself is a single message that XLA schedules ahead of the warmup's
+data dependency. Measured at the headline config (TIMESHARD_BENCH.json,
+v5e: t_step 239.9 us vs t_insert 71.4 us, halo 126 MB): per-device
+scaling efficiency 0.77 at m = P blocks/device, 0.93 at 4P, 0.995 at
+64P — so >= 0.9 needs m >~ 3.5P (about 1.1 min of 48 kHz audio per
+device at the 10 s-IR config).
 
 Exactness: warmup replays the SAME ``_spectrum_and_push`` code path as the
 sequential stream (including dynamic quantization for int8/int16 storage),

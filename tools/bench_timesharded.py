@@ -65,19 +65,21 @@ def bench_tpu(storage: str = "bf16") -> dict:
     nb = 400
     sig = jnp.asarray(rng.uniform(-1, 1, (C, nb * B)), jnp.float32)
 
-    def timed(fn, *args):
-        out = fn(*args)
+    def timed(fn, st, sig):
+        """fn(params?, state, sig) -> (state, out-ish); donation-safe: the
+        returned state is threaded into the next call."""
+        st, out = fn(st, sig)
         float(jnp.sum(jnp.abs(jax.tree.leaves(out)[0]).astype(jnp.float32)))
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
-            out = fn(*args)
+            st, out = fn(st, sig)
             float(jnp.sum(jnp.abs(jax.tree.leaves(out)[0]).astype(jnp.float32)))
             ts.append(time.perf_counter() - t0)
         return min(ts) / nb
 
     proc = jax.jit(partial(cv.process, cfg), donate_argnums=(1,))
-    t_step = timed(proc, params, state, sig)
+    t_step = timed(lambda st, sg: proc(params, st, sg), state, sig)
 
     @jax.jit
     def warm(state, sig):
@@ -87,7 +89,7 @@ def bench_tpu(storage: str = "bf16") -> dict:
             return cv.insert_only_step(cfg, carry, blk), None
 
         state, _ = lax.scan(body, state, blocks)
-        return state
+        return state, state["fdl"]
 
     t_insert = timed(warm, cv.init_state(cfg), sig)
 
