@@ -199,17 +199,28 @@ def bench_hybrid(storage="bf16", s=64, mult=4):
 
 def _perblock_bytes(cfg, p, fused=False):
     """HBM bytes touched per block by the uniform per-block step: the full
-    FDL read + one row write, rotated filter planes, DFT matrices, block IO."""
+    FDL read + one row write, rotated filter planes, DFT matrices, block IO.
+
+    The fused path is the whole-stream kernel (``fused_stream``): the DFT
+    matrices are fetched ONCE per stream (constant-index VMEM inputs) and
+    the quant scale table lives in VMEM scratch — neither costs per-block
+    HBM; the UPOLS window DMA reads each input sample twice.
+    """
     lanes = cfg.block_size if cfg.use_packed else cfg.num_bins
     itemsize = {"dense": 8, "split": 4, "bf16": 2, "int16": 2, "int8": 1}[cfg.storage]
     n = cfg.transform_size
     fdl = 2 * p * cfg.channels * lanes * itemsize
-    filt = 2 * p * lanes * 4
-    # fused path: storage-matched bf16 DFT matrices for bf16/int8
-    mat_item = 2 if (fused and cfg.storage in ("bf16", "int8")) else 4
-    mats = 2 * n * lanes * mat_item + 2 * lanes * n * mat_item
-    io = 2 * cfg.channels * cfg.block_size * 4
-    scl = (2 * p * cfg.channels * 4) if cfg.storage in ("int8", "int16") else 0
+    # rotated filter rows: storage-matched dtype on the fused path
+    filt_item = 2 if (fused and cfg.storage in ("bf16", "int8")) else 4
+    filt = 2 * p * lanes * filt_item
+    if fused:
+        mats = 0  # amortized across the stream (fetched once)
+        io = cfg.channels * (n + cfg.block_size) * 4  # window r + block w
+        scl = 0  # VMEM-resident scale table
+    else:
+        mats = (2 * n * lanes + 2 * lanes * n) * 4
+        io = 2 * cfg.channels * cfg.block_size * 4
+        scl = (2 * p * cfg.channels * 4) if cfg.storage in ("int8", "int16") else 0
     return fdl + filt + mats + io + scl
 
 
@@ -301,7 +312,7 @@ def main():
     peak = hbm_peak_bytes_per_sec()
     achievable = hbm_achievable_bytes_per_sec() if on_tpu else None
     if achievable:
-        print(f"# achievable HBM (read-heavy, this session): "
+        print(f"# XLA read-stream rate (this session): "
               f"{achievable/1e9:.0f} GB/s", file=sys.stderr)
     oracle = _oracle_head()
 
@@ -321,10 +332,7 @@ def main():
                 engines[name]["snr_db_vs_f64"] = round(snr, 1)
             if roof is not None:
                 engines[name]["roofline_fraction"] = round(roof, 3)
-                if achievable:
-                    engines[name]["roofline_fraction_achievable"] = round(
-                        bpb * nb / dt / achievable, 3
-                    )
+                engines[name]["effective_gbps"] = round(bpb * nb / dt / 1e9, 1)
             msg = (
                 f"# {name}: {sps/1e6:.1f} M samples/s "
                 f"({dt/nb*1e6:.1f} us/block over {nb} blocks)"
@@ -379,6 +387,18 @@ def main():
     best_key = max(qual, key=lambda k: engines[k]["samples_per_sec"])
     best = engines[best_key]["samples_per_sec"]
     print(f"# best (snr-class qualified: {in_class}): {best_key}", file=sys.stderr)
+
+    # Session bandwidth context: the XLA read-stream loop is a REFERENCE
+    # rate, not a ceiling — the kernels' big sequential DMAs can exceed it
+    # (measured 553 vs ~405 GB/s). Re-probe at the end (clock ramps) and
+    # record the ratio so a bad claim (slow chip) is visible in the JSON.
+    if on_tpu:
+        achievable = max(achievable or 0, hbm_achievable_bytes_per_sec())
+        for e in engines.values():
+            if "effective_gbps" in e and achievable:
+                e["vs_xla_stream"] = round(
+                    e["effective_gbps"] * 1e9 / achievable, 2
+                )
     out = {
         "metric": "partitioned_conv_64ch_10s_ir_block512_samples_per_sec_per_chip",
         "value": round(best, 1),
@@ -389,7 +409,7 @@ def main():
         "engines": engines,
     }
     if achievable:
-        out["hbm_achievable_gbps"] = round(achievable / 1e9, 1)
+        out["xla_stream_gbps"] = round(achievable / 1e9, 1)
     if failed:
         out["failed"] = failed
     print(json.dumps(out))

@@ -166,3 +166,42 @@ def test_sparse_mac_headline_scale_on_device(rng_mod):
     scale = max(np.abs(dr).max(), np.abs(di).max(), 1e-9)
     err = max(np.abs(sr - dr).max(), np.abs(si - di).max()) / scale
     assert err < 2e-4, f"sparse-vs-dense rel err {err:.2e} at P=960/C=64"
+
+
+# ------------------------------------- stream kernel vs per-block kernel
+
+
+@pytest.mark.parametrize("storage,tol", [("bf16", 5e-3), ("split", 1e-4), ("int8", 2e-2)])
+def test_fused_stream_matches_per_block_on_device(rng_mod, storage, tol):
+    """The whole-stream kernel (one pallas_call, grid over blocks) must
+    reproduce the per-call fused step it replaced: same kernel math, only
+    launch structure + DC/Nyquist precompute + tail-half inverse differ."""
+    from neojax.conv import convolver as cv
+    from neojax.conv.overlap import stream_blocks, unstream_blocks
+
+    p, c, nb = 512, 8, 12
+    parts = _parts(rng_mod, p)
+    sig = jnp.asarray(rng_mod.uniform(-1, 1, (c, nb * B)), jnp.float32)
+
+    cfg = cv.PartitionedConfig(
+        B, p, c, storage=storage, mac_backend="pallas", fused=True
+    )
+    params = cv.filter_params(cfg, parts)
+
+    _, out_stream = jax.jit(partial(cv.process, cfg))(
+        params, cv.init_state(cfg), sig
+    )
+
+    def scan_proc(params, state, signal):
+        blocks, length = stream_blocks(signal, cfg.block_size)
+
+        def body(carry, blk):
+            return cv.step(cfg, params, carry, blk)
+
+        state, outs = jax.lax.scan(body, state, blocks)
+        return state, unstream_blocks(outs, length)
+
+    _, out_block = jax.jit(scan_proc)(params, cv.init_state(cfg), sig)
+    a, b_ = np.asarray(out_stream), np.asarray(out_block)
+    scale = max(1e-6, np.abs(b_).max())
+    assert np.abs(a - b_).max() / scale < tol
