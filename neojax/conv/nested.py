@@ -219,6 +219,11 @@ def process_nested(
     prev_dtype = state["prev"].dtype
     fwd_prec, inv_prec = _fft_precisions(config)
     meta_prec = fwd_prec
+    # bf16 rung: big intermediates that ONLY feed 1-pass (DEFAULT) matmuls
+    # are kept bf16 end-to-end — DEFAULT rounds operands to bf16 inside
+    # the MXU anyway, so this halves their HBM traffic at identical
+    # matmul numerics (accumulation stays f32 via preferred_element_type).
+    lane_dt = jnp.bfloat16 if config.storage == "bf16" else jnp.float32
 
     signal = jnp.asarray(signal, jnp.float32)
     squeeze = signal.ndim == 1
@@ -248,14 +253,17 @@ def process_nested(
             frames = jnp.pad(chunk, ((0, 0), (0, 0), (0, n - b)))
             new_tail = None
 
-        sre, sim = matmul_backend.rfft_split(frames, n, fwd_prec)  # [S, C, K]
+        sre, sim = matmul_backend.rfft_split(
+            frames.astype(lane_dt), n, fwd_prec
+        )  # [S, C, K]
         cur = jnp.stack(
             [jnp.moveaxis(sre, 0, -1), jnp.moveaxis(sim, 0, -1)]
         ).astype(prev_dtype)  # [2, C, K, S]
 
         # meta OLS window (2S frames) + C2C meta-FFT along the frame axis
-        wre = jnp.concatenate([prev[0], cur[0]], axis=-1).astype(jnp.float32)
-        wim = jnp.concatenate([prev[1], cur[1]], axis=-1).astype(jnp.float32)
+        wdt = lane_dt if config.storage == "bf16" else jnp.float32
+        wre = jnp.concatenate([prev[0], cur[0]], axis=-1).astype(wdt)
+        wim = jnp.concatenate([prev[1], cur[1]], axis=-1).astype(wdt)
         xre, xim = matmul_backend.fft_split(wre, wim, 2 * s, precision=meta_prec)
 
         # ring insert + rotated meta-filter, exactly the fdl_index schedule
@@ -308,10 +316,11 @@ def process_nested(
 
         # inverse meta-FFT (unnormalized fwd-with-swapped-sign + 1/2S)
         yre, yim = matmul_backend.fft_split(
-            acc_re, acc_im, 2 * s, inverse=True, precision=meta_prec
+            acc_re.astype(lane_dt), acc_im.astype(lane_dt), 2 * s,
+            inverse=True, precision=meta_prec,
         )
-        yre = yre[..., s:] * (1.0 / (2 * s))  # OLS: keep the last S frames
-        yim = yim[..., s:] * (1.0 / (2 * s))
+        yre = (yre[..., s:] * (1.0 / (2 * s))).astype(lane_dt)  # last S frames
+        yim = (yim[..., s:] * (1.0 / (2 * s))).astype(lane_dt)
 
         y = matmul_backend.irfft_split(
             jnp.moveaxis(yre, -1, 0), jnp.moveaxis(yim, -1, 0), n, inv_prec

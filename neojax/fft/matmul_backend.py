@@ -152,6 +152,13 @@ def _matmul(x, m, precision=lax.Precision.HIGHEST):
     # parity bound — reduced-precision engines (bf16 FDL storage) may pass
     # HIGH (3-pass) or DEFAULT (1-pass) explicitly to trade those passes
     # for throughput, matching their storage error floor.
+    #
+    # bf16 OPERANDS are accepted and imply the 1-pass path: DEFAULT rounds
+    # f32 operands to bf16 inside the MXU anyway, so callers that keep
+    # their big tensors bf16 end-to-end halve HBM traffic at bit-identical
+    # matmul numerics (the nested engine's bf16 rung does this).
+    if x.dtype == jnp.bfloat16 and m.dtype != jnp.bfloat16:
+        m = m.astype(jnp.bfloat16)
     return lax.dot_general(
         x,
         m,
@@ -164,7 +171,8 @@ def _matmul(x, m, precision=lax.Precision.HIGHEST):
 def rfft_split(x: jnp.ndarray, n: int, precision=lax.Precision.HIGHEST):
     """Real [..., n] -> (re, im) each [..., n//2+1], unnormalized forward."""
     c, s = rfft_matrices(n)
-    x = x.astype(jnp.float32)
+    if x.dtype != jnp.bfloat16:
+        x = x.astype(jnp.float32)
     return _matmul(x, c, precision), _matmul(x, s, precision)
 
 
@@ -174,9 +182,10 @@ def irfft_split(
     """(re, im) [..., n//2+1] -> real [..., n]; includes the 1/N factor
     (i.e. numpy-style normalized inverse)."""
     a, b = irfft_matrices(n)
-    return _matmul(re.astype(jnp.float32), a, precision) + _matmul(
-        im.astype(jnp.float32), b, precision
-    )
+    if re.dtype != jnp.bfloat16:
+        re = re.astype(jnp.float32)
+        im = im.astype(jnp.float32)
+    return _matmul(re, a, precision) + _matmul(im, b, precision)
 
 
 @functools.lru_cache(maxsize=32)
