@@ -228,22 +228,53 @@ def packed_mats_np(n: int):
     return np.stack([c, s]), np.stack([a, b])
 
 
+def rfft_packed_matrices(n: int):
+    """Packed forward matrices, in-trace above the literal cap (the packed
+    builders must honor the same HTTP-413 guard as the plain ones — block
+    4096 would otherwise embed ~536 MB of constants)."""
+    b = n // 2
+    if _use_traced(n, n, b):
+        c, s = _cs_traced(n, b, n)
+        t = lax.broadcasted_iota(jnp.int32, (n, b), 0)
+        j = lax.broadcasted_iota(jnp.int32, (n, b), 1)
+        # forward angle is negative; im-plane lane 0 = Nyquist cos column
+        ny = jnp.where(t % 2 == 0, 1.0, -1.0)
+        return c, jnp.where(j == 0, ny, -s)
+    c, s = _rfft_packed_mats_np(n)
+    return jnp.asarray(c), jnp.asarray(s)
+
+
+def irfft_packed_matrices(n: int):
+    b = n // 2
+    if _use_traced(n, b, n):
+        c, s = _cs_traced(b, n, n)
+        k = lax.broadcasted_iota(jnp.int32, (b, n), 0)
+        t = lax.broadcasted_iota(jnp.int32, (b, n), 1)
+        w = jnp.where(k == 0, 1.0, 2.0)
+        a2 = w * c * np.float32(1.0 / n)
+        b2 = -(w * s) * np.float32(1.0 / n)
+        nyrow = jnp.where(t % 2 == 0, 1.0, -1.0) * np.float32(1.0 / n)
+        return a2, jnp.where(k == 0, nyrow, b2)
+    a, bm = _irfft_packed_mats_np(n)
+    return jnp.asarray(a), jnp.asarray(bm)
+
+
 def rfft_packed_split(x: jnp.ndarray, n: int, precision=lax.Precision.HIGHEST):
     """Real [..., n] -> packed (re, im) each [..., n//2]: bins 0..n/2-1 with
     Nyquist.re stored in the im-plane's DC lane. Lane count n/2 is a
     power-of-two for power-of-two n — dense (8, 128) tiling, no padding."""
-    c, s = _rfft_packed_mats_np(n)
+    c, s = rfft_packed_matrices(n)
     x = x.astype(jnp.float32)
-    return _matmul(x, jnp.asarray(c), precision), _matmul(x, jnp.asarray(s), precision)
+    return _matmul(x, c, precision), _matmul(x, s, precision)
 
 
 def irfft_packed_split(
     re: jnp.ndarray, im: jnp.ndarray, n: int, precision=lax.Precision.HIGHEST
 ) -> jnp.ndarray:
     """Packed (re, im) [..., n//2] -> real [..., n], normalized (1/n)."""
-    a, b = _irfft_packed_mats_np(n)
-    return _matmul(re.astype(jnp.float32), jnp.asarray(a), precision) + _matmul(
-        im.astype(jnp.float32), jnp.asarray(b), precision
+    a, b = irfft_packed_matrices(n)
+    return _matmul(re.astype(jnp.float32), a, precision) + _matmul(
+        im.astype(jnp.float32), b, precision
     )
 
 
