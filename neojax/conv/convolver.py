@@ -331,7 +331,29 @@ def _frame(config: PartitionedConfig, state: dict, block: jnp.ndarray) -> jnp.nd
     return jnp.pad(block, [(0, 0)] * (block.ndim - 1) + [(0, n - b)])
 
 
-def _spectrum_and_push(config: PartitionedConfig, state: dict, frame: jnp.ndarray):
+def _transform_mats(config: PartitionedConfig):
+    """Precompute the DFT matmul matrices used by the unfused step — built
+    ONCE outside lax.scan and closed over as loop constants. For in-trace
+    sizes (block >= ~1024) leaving them to the transform calls would rerun
+    the trig generation EVERY scan iteration (~4.5 ms/block at N=8192)."""
+    n = config.transform_size
+    if config.storage == "dense":
+        return None
+    if config.use_packed:
+        return (
+            matmul_backend.rfft_packed_matrices(n),
+            matmul_backend.irfft_packed_matrices(n),
+        )
+    if _use_split_fft(config):
+        return (
+            matmul_backend.rfft_matrices(n),
+            matmul_backend.irfft_matrices(n),
+        )
+    return None
+
+
+def _spectrum_and_push(config: PartitionedConfig, state: dict, frame: jnp.ndarray,
+                       mats=None):
     """rfft the frame and insert the spectrum into the FDL.
 
     Returns (state_update, spectrum): state_update is a dict of changed
@@ -353,15 +375,16 @@ def _spectrum_and_push(config: PartitionedConfig, state: dict, frame: jnp.ndarra
             new_fdl = fdl_lib.fdl_push_dense(state["fdl"], spec)
         return {"fdl": new_fdl}, spec
 
+    fwd = None if mats is None else mats[0]
     if config.use_packed:
-        spec_re, spec_im = matmul_backend.rfft_packed_split(frame, n)
+        spec_re, spec_im = matmul_backend.rfft_packed_split(frame, n, mats=fwd)
         new_fdl, new_dcny = fdl_lib.fdl_packed_push(
             state["fdl"], state["dcny"], spec_re, spec_im, pos
         )
         return {"fdl": new_fdl, "dcny": new_dcny}, (spec_re, spec_im)
 
     if _use_split_fft(config):
-        spec_re, spec_im = matmul_backend.rfft_split(frame, n)
+        spec_re, spec_im = matmul_backend.rfft_split(frame, n, mats=fwd)
     else:
         spec = fft_api.rfft(frame, n=n, backend=config.fft_backend)[..., :k]
         spec_re = jnp.real(spec)
@@ -373,7 +396,8 @@ def _spectrum_and_push(config: PartitionedConfig, state: dict, frame: jnp.ndarra
     return {"fdl": new_fdl}, (spec_re, spec_im)
 
 
-def insert_only_step(config: PartitionedConfig, state: dict, block: jnp.ndarray) -> dict:
+def insert_only_step(config: PartitionedConfig, state: dict, block: jnp.ndarray,
+                     mats=None) -> dict:
     """Advance the FDL/tail state by one block WITHOUT the MAC + irfft.
 
     The warmup primitive of the time-sharded pipeline (``dist.timesharded``):
@@ -382,7 +406,7 @@ def insert_only_step(config: PartitionedConfig, state: dict, block: jnp.ndarray)
     identical to N full steps (outputs discarded).
     """
     frame = _frame(config, state, block)
-    update, _ = _spectrum_and_push(config, state, frame)
+    update, _ = _spectrum_and_push(config, state, frame, mats)
     new_state = dict(state)
     new_state.update(update)
     if config.scheme == "upols":
@@ -449,8 +473,13 @@ def _fused_step(config: PartitionedConfig, params: dict, state: dict, frame):
     return y, {"fdl": new_fdl, "dcny": new_dcny}
 
 
-def step(config: PartitionedConfig, params: dict, state: dict, block: jnp.ndarray):
-    """One streaming block: [C, B] in -> [C, B] out (pure; state is the carry)."""
+def step(config: PartitionedConfig, params: dict, state: dict, block: jnp.ndarray,
+         mats=None):
+    """One streaming block: [C, B] in -> [C, B] out (pure; state is the carry).
+
+    ``mats``: optional precomputed transform matrices (``_transform_mats``);
+    pass them when calling step inside a loop so the in-trace matrix
+    generation is hoisted (process does this automatically)."""
     b = config.block_size
     n = config.transform_size
 
@@ -474,7 +503,7 @@ def step(config: PartitionedConfig, params: dict, state: dict, block: jnp.ndarra
         new_state["pos"] = (pos + 1) % p
         return new_state, out
 
-    update, _ = _spectrum_and_push(config, state, frame)
+    update, _ = _spectrum_and_push(config, state, frame, mats)
     new_fdl = update["fdl"]
     if config.storage == "dense":
         if ring:
@@ -532,9 +561,13 @@ def step(config: PartitionedConfig, params: dict, state: dict, block: jnp.ndarra
             acc_dcny = fdl_lib.dcny_mac(update["dcny"], filt_dcny)  # [C, 2]
             acc_re = acc_re.at[:, 0].set(acc_dcny[:, 0])
             acc_im = acc_im.at[:, 0].set(acc_dcny[:, 1])
-            y = matmul_backend.irfft_packed_split(acc_re, acc_im, n)
+            y = matmul_backend.irfft_packed_split(
+                acc_re, acc_im, n, mats=None if mats is None else mats[1]
+            )
         elif _use_split_fft(config):
-            y = matmul_backend.irfft_split(acc_re, acc_im, n)
+            y = matmul_backend.irfft_split(
+                acc_re, acc_im, n, mats=None if mats is None else mats[1]
+            )
         else:
             y = fft_api.irfft(
                 jax.lax.complex(acc_re, acc_im), n=n, backend=config.fft_backend
@@ -696,8 +729,10 @@ def process(
             out = out[0]
         return state, out
 
+    mats = _transform_mats(config)
+
     def body(carry, blk):
-        new_carry, out = step(config, params, carry, blk)
+        new_carry, out = step(config, params, carry, blk, mats)
         return new_carry, out
 
     state, outs = jax.lax.scan(body, state, blocks)

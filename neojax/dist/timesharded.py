@@ -68,8 +68,10 @@ def _warmup(config: cv.PartitionedConfig, params: dict, halo: jnp.ndarray) -> di
         # one full step on block P-1 to materialize the overlap tail.
         warm = blocks[:-1]
 
+    mats = cv._transform_mats(config)
+
     def body(carry, blk):
-        return cv.insert_only_step(config, carry, blk), None
+        return cv.insert_only_step(config, carry, blk, mats), None
 
     state, _ = jax.lax.scan(body, state, warm)
 

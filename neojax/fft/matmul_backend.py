@@ -33,6 +33,8 @@ __all__ = [
     "irfft_matrices",
     "rfft_split",
     "irfft_split",
+    "rfft_packed_matrices",
+    "irfft_packed_matrices",
     "rfft_packed_split",
     "irfft_packed_split",
     "rfft",
@@ -168,20 +170,22 @@ def _matmul(x, m, precision=lax.Precision.HIGHEST):
     )
 
 
-def rfft_split(x: jnp.ndarray, n: int, precision=lax.Precision.HIGHEST):
+def rfft_split(x: jnp.ndarray, n: int, precision=lax.Precision.HIGHEST,
+               mats=None):
     """Real [..., n] -> (re, im) each [..., n//2+1], unnormalized forward."""
-    c, s = rfft_matrices(n)
+    c, s = mats if mats is not None else rfft_matrices(n)
     if x.dtype != jnp.bfloat16:
         x = x.astype(jnp.float32)
     return _matmul(x, c, precision), _matmul(x, s, precision)
 
 
 def irfft_split(
-    re: jnp.ndarray, im: jnp.ndarray, n: int, precision=lax.Precision.HIGHEST
+    re: jnp.ndarray, im: jnp.ndarray, n: int,
+    precision=lax.Precision.HIGHEST, mats=None,
 ) -> jnp.ndarray:
     """(re, im) [..., n//2+1] -> real [..., n]; includes the 1/N factor
     (i.e. numpy-style normalized inverse)."""
-    a, b = irfft_matrices(n)
+    a, b = mats if mats is not None else irfft_matrices(n)
     if re.dtype != jnp.bfloat16:
         re = re.astype(jnp.float32)
         im = im.astype(jnp.float32)
@@ -259,20 +263,26 @@ def irfft_packed_matrices(n: int):
     return jnp.asarray(a), jnp.asarray(bm)
 
 
-def rfft_packed_split(x: jnp.ndarray, n: int, precision=lax.Precision.HIGHEST):
+def rfft_packed_split(x: jnp.ndarray, n: int,
+                      precision=lax.Precision.HIGHEST, mats=None):
     """Real [..., n] -> packed (re, im) each [..., n//2]: bins 0..n/2-1 with
     Nyquist.re stored in the im-plane's DC lane. Lane count n/2 is a
-    power-of-two for power-of-two n — dense (8, 128) tiling, no padding."""
-    c, s = rfft_packed_matrices(n)
+    power-of-two for power-of-two n — dense (8, 128) tiling, no padding.
+
+    ``mats``: optional precomputed (c, s) — callers inside lax.scan MUST
+    pass matrices built outside the loop for in-trace sizes, or the
+    trig generation reruns every iteration (~4.5 ms/block at N=8192)."""
+    c, s = mats if mats is not None else rfft_packed_matrices(n)
     x = x.astype(jnp.float32)
     return _matmul(x, c, precision), _matmul(x, s, precision)
 
 
 def irfft_packed_split(
-    re: jnp.ndarray, im: jnp.ndarray, n: int, precision=lax.Precision.HIGHEST
+    re: jnp.ndarray, im: jnp.ndarray, n: int,
+    precision=lax.Precision.HIGHEST, mats=None,
 ) -> jnp.ndarray:
     """Packed (re, im) [..., n//2] -> real [..., n], normalized (1/n)."""
-    a, b = irfft_packed_matrices(n)
+    a, b = mats if mats is not None else irfft_packed_matrices(n)
     return _matmul(re.astype(jnp.float32), a, precision) + _matmul(
         im.astype(jnp.float32), b, precision
     )
