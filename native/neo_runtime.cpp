@@ -5,7 +5,7 @@
 // plugin (WAV I/O, extra/cli/src/wav.hpp:50,89; frame re-blocking with
 // latency management, extra/plugin/src/dsp/ConstantOverlapAdd.hpp:12,89-199).
 // Exposed through a plain C ABI and loaded from Python with ctypes
-// (neojax/io/native.py, neojax/conv/reblock.py).
+// (neojax/io/native.py).
 //
 // Build: make -C native   (produces libneo_runtime.so)
 

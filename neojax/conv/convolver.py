@@ -291,6 +291,25 @@ def _use_split_fft(config: PartitionedConfig) -> bool:
     return backend == "matmul" and config.storage != "dense"
 
 
+# Transform sizes at or above this stream through the four-step (Bailey)
+# recursion instead of the dense DFT matmul. The dense [N, N/2] matrices at
+# N = 4096 are 2 x 33 MB (forward) + 2 x 33 MB (inverse) of HBM re-read per
+# streamed block; the four-step path touches O(channels * N) per pass with
+# KB-sized leaf matrices. Below this the matrices are VMEM-resident literals
+# and fuse with neighbours — keep the single-matmul path.
+_FOURSTEP_MIN_N = 4096
+
+
+def _use_fourstep_stream(config: PartitionedConfig) -> bool:
+    n = config.transform_size
+    return (
+        config.storage != "dense"
+        and config.fft_backend in (None, "auto", "matmul")
+        and n >= _FOURSTEP_MIN_N
+        and n & (n - 1) == 0  # four-step recursion is pow-2 only
+    )
+
+
 def _use_fused(config: PartitionedConfig, params: dict) -> bool:
     if "sp_k_idx" in params and "sp_c_idx" not in params:
         return False  # lane-level sparse kernel owns non-packed masked configs
@@ -337,8 +356,8 @@ def _transform_mats(config: PartitionedConfig):
     sizes (block >= ~1024) leaving them to the transform calls would rerun
     the trig generation EVERY scan iteration (~4.5 ms/block at N=8192)."""
     n = config.transform_size
-    if config.storage == "dense":
-        return None
+    if config.storage == "dense" or _use_fourstep_stream(config):
+        return None  # four-step closes over KB-sized leaf matrices itself
     if config.use_packed:
         return (
             matmul_backend.rfft_packed_matrices(n),
@@ -377,13 +396,22 @@ def _spectrum_and_push(config: PartitionedConfig, state: dict, frame: jnp.ndarra
 
     fwd = None if mats is None else mats[0]
     if config.use_packed:
-        spec_re, spec_im = matmul_backend.rfft_packed_split(frame, n, mats=fwd)
+        if _use_fourstep_stream(config):
+            from neojax.fft.four_step import rfft_packed_split_large
+
+            spec_re, spec_im = rfft_packed_split_large(frame, n)
+        else:
+            spec_re, spec_im = matmul_backend.rfft_packed_split(frame, n, mats=fwd)
         new_fdl, new_dcny = fdl_lib.fdl_packed_push(
             state["fdl"], state["dcny"], spec_re, spec_im, pos
         )
         return {"fdl": new_fdl, "dcny": new_dcny}, (spec_re, spec_im)
 
-    if _use_split_fft(config):
+    if _use_fourstep_stream(config):
+        from neojax.fft.four_step import rfft_split_large
+
+        spec_re, spec_im = rfft_split_large(frame, n)
+    elif _use_split_fft(config):
         spec_re, spec_im = matmul_backend.rfft_split(frame, n, mats=fwd)
     else:
         spec = fft_api.rfft(frame, n=n, backend=config.fft_backend)[..., :k]
@@ -440,14 +468,15 @@ def _fused_step(config: PartitionedConfig, params: dict, state: dict, frame):
     filt_dcny = fdl_lib.rotated_filter(params["filt_dcny"], pos, p)
     dcfix = fdl_lib.dcny_mac(new_dcny, filt_dcny).T  # [2, C]
 
-    cs_np, ab_np = matmul_backend.packed_mats_np(n)
     # Storage-matched transform precision (the policy measured in
     # conv.chunked._fft_precisions): bf16 matrices for the reduced-precision
     # storages halve the 2x(N x B) matrix re-read per block — the largest
     # fixed HBM cost of the fused step — at the storage's own SNR class.
+    # Built via the traced generators, NOT packed_mats_np literals: an
+    # embedded constant costs ~24 ms/call on the remote runtime.
     mat_dt = jnp.bfloat16 if config.storage in ("bf16", "int8") else jnp.float32
-    cs = jnp.asarray(cs_np, mat_dt)
-    ab = jnp.asarray(ab_np, mat_dt)
+    cs = jnp.stack(matmul_backend.rfft_packed_matrices(n)).astype(mat_dt)
+    ab = jnp.stack(matmul_backend.irfft_packed_matrices(n)).astype(mat_dt)
 
     shared = "filt_rim8" in params
     rim = params["filt_rim8"] if shared else params["filt_rim"]
@@ -471,6 +500,57 @@ def _fused_step(config: PartitionedConfig, params: dict, state: dict, frame):
             shared_filter=shared,
         )
     return y, {"fdl": new_fdl, "dcny": new_dcny}
+
+
+def _split_mac(config: PartitionedConfig, params: dict, new_fdl, pos):
+    """The split-plane partition MAC-reduce of one block step: rotated
+    filter slice + Pallas (or XLA) complex MAC with fused dequant, incl.
+    the tile-sparse schedule. Shared by ``step`` and the batched large-N
+    stream (``_process_fourstep_stream``). Returns (acc_re, acc_im)."""
+    ring = config.layout == "ring"
+    p = config.num_partitions
+    if ring:
+        filt_re = fdl_lib.rotated_filter(params["filt_re"], pos, p)
+        filt_im = fdl_lib.rotated_filter(params["filt_im"], pos, p)
+    else:
+        filt_re = params["filt_re"]
+        filt_im = params["filt_im"]
+    if _use_pallas_mac(config):
+        from neojax.kernels.fdl_mac import fdl_mac_pallas
+
+        planes, scales = (
+            new_fdl if isinstance(new_fdl, tuple) else (new_fdl, None)
+        )
+        scl = None if scales is None else scales[..., 0]
+        if ring and "sp_k_idx" in params:
+            from neojax.kernels.fdl_mac import choose_chunks
+            from neojax.kernels.sparse_mac import sparse_fdl_mac_pallas
+
+            k_tile, pc = choose_chunks(
+                planes.dtype, p, config.channels, planes.shape[-1]
+            )
+            acc_re, acc_im = sparse_fdl_mac_pallas(
+                planes,
+                filt_re,
+                filt_im,
+                pos,
+                params["sp_k_idx"],
+                params["sp_p_idx"],
+                params["sp_flags"],
+                scl,
+                p_chunk=pc,
+                k_tile=k_tile,
+            )
+            # Bins in k-tiles the schedule never visits are undefined.
+            acc_re = jnp.where(params["sp_lane"], acc_re, 0.0)
+            acc_im = jnp.where(params["sp_lane"], acc_im, 0.0)
+        elif scl is not None:
+            acc_re, acc_im = fdl_mac_pallas(planes, filt_re, filt_im, scl)
+        else:
+            acc_re, acc_im = fdl_mac_pallas(planes, filt_re, filt_im)
+    else:
+        acc_re, acc_im = fdl_lib.fdl_mac_split(new_fdl, filt_re, filt_im)
+    return acc_re, acc_im
 
 
 def step(config: PartitionedConfig, params: dict, state: dict, block: jnp.ndarray,
@@ -513,47 +593,7 @@ def step(config: PartitionedConfig, params: dict, state: dict, block: jnp.ndarra
         acc = fdl_lib.fdl_mac_dense(new_fdl, filt)
         y = fft_api.irfft(acc, n=n, backend=config.fft_backend)
     else:
-        if ring:
-            filt_re = fdl_lib.rotated_filter(params["filt_re"], pos, p)
-            filt_im = fdl_lib.rotated_filter(params["filt_im"], pos, p)
-        else:
-            filt_re = params["filt_re"]
-            filt_im = params["filt_im"]
-        if _use_pallas_mac(config):
-            from neojax.kernels.fdl_mac import fdl_mac_pallas
-
-            planes, scales = (
-                new_fdl if isinstance(new_fdl, tuple) else (new_fdl, None)
-            )
-            scl = None if scales is None else scales[..., 0]
-            if ring and "sp_k_idx" in params:
-                from neojax.kernels.fdl_mac import choose_chunks
-                from neojax.kernels.sparse_mac import sparse_fdl_mac_pallas
-
-                k_tile, pc = choose_chunks(
-                    planes.dtype, p, config.channels, planes.shape[-1]
-                )
-                acc_re, acc_im = sparse_fdl_mac_pallas(
-                    planes,
-                    filt_re,
-                    filt_im,
-                    pos,
-                    params["sp_k_idx"],
-                    params["sp_p_idx"],
-                    params["sp_flags"],
-                    scl,
-                    p_chunk=pc,
-                    k_tile=k_tile,
-                )
-                # Bins in k-tiles the schedule never visits are undefined.
-                acc_re = jnp.where(params["sp_lane"], acc_re, 0.0)
-                acc_im = jnp.where(params["sp_lane"], acc_im, 0.0)
-            elif scl is not None:
-                acc_re, acc_im = fdl_mac_pallas(planes, filt_re, filt_im, scl)
-            else:
-                acc_re, acc_im = fdl_mac_pallas(planes, filt_re, filt_im)
-        else:
-            acc_re, acc_im = fdl_lib.fdl_mac_split(new_fdl, filt_re, filt_im)
+        acc_re, acc_im = _split_mac(config, params, new_fdl, pos)
         if config.use_packed:
             # Overwrite the garbage lane-0 complex product with the exact
             # DC/Nyquist real MACs from the f32 side-carry.
@@ -561,9 +601,18 @@ def step(config: PartitionedConfig, params: dict, state: dict, block: jnp.ndarra
             acc_dcny = fdl_lib.dcny_mac(update["dcny"], filt_dcny)  # [C, 2]
             acc_re = acc_re.at[:, 0].set(acc_dcny[:, 0])
             acc_im = acc_im.at[:, 0].set(acc_dcny[:, 1])
-            y = matmul_backend.irfft_packed_split(
-                acc_re, acc_im, n, mats=None if mats is None else mats[1]
-            )
+            if _use_fourstep_stream(config):
+                from neojax.fft.four_step import irfft_packed_split_large
+
+                y = irfft_packed_split_large(acc_re, acc_im, n)
+            else:
+                y = matmul_backend.irfft_packed_split(
+                    acc_re, acc_im, n, mats=None if mats is None else mats[1]
+                )
+        elif _use_fourstep_stream(config):
+            from neojax.fft.four_step import irfft_split_large
+
+            y = irfft_split_large(acc_re, acc_im, n)
         elif _use_split_fft(config):
             y = matmul_backend.irfft_split(
                 acc_re, acc_im, n, mats=None if mats is None else mats[1]
@@ -596,6 +645,12 @@ def _dcfix_sequence(config: PartitionedConfig, params: dict, dcny, pos0, sigpad)
     ring state. Returns (dcfix_all [nb, 2, C], new_dcny ring).
     """
     b = config.block_size
+    # The Nyquist alternating-sign trick below continues the +/- pattern of
+    # the frame's first half into the second — valid for even B only. The
+    # packed layout (a fused-stream precondition) already enforces even B in
+    # PartitionedConfig.__post_init__; assert here so a future relaxation of
+    # that config rule cannot silently diverge this path from step().
+    assert b % 2 == 0, "fused stream requires an even block size"
     p = config.num_partitions
     c = sigpad.shape[0]
     nb = sigpad.shape[1] // b - 1
@@ -656,10 +711,11 @@ def _process_fused_stream(config, params, state, blocks, length):
         config, params, state["dcny"], pos0, sigpad
     )
 
-    cs_np, ab_np = matmul_backend.packed_mats_np(n)
     mat_dt = jnp.bfloat16 if config.storage in ("bf16", "int8") else jnp.float32
-    cs = jnp.asarray(cs_np, mat_dt)
-    abt = jnp.asarray(ab_np[:, :, b:], mat_dt)  # tail-half inverse columns
+    cs = jnp.stack(matmul_backend.rfft_packed_matrices(n)).astype(mat_dt)
+    abt = jnp.stack(matmul_backend.irfft_packed_matrices(n)).astype(mat_dt)[
+        :, :, b:
+    ]  # tail-half inverse columns
 
     sched = None
     if "sp_c_idx" in params:
@@ -708,6 +764,12 @@ def _process_fused_stream(config, params, state, blocks, length):
     return new_state, out[:, :length]
 
 
+# NOTE (r4): a batched large-N variant (all forward transforms in one
+# four-step call, scan = insert+MAC only, batched inverse) was built and
+# measured SLOWER than the per-block scan at block 4096 (fetch-synced,
+# same process: ~299 vs ~240 us/block at P=32) — the [C, NB, 2B] relayout
+# passes on ~270 MB cost more than the per-block glue they remove. The
+# per-block four-step path below is the production large-block route.
 def process(
     config: PartitionedConfig, params: dict, state: dict, signal: jnp.ndarray
 ):
@@ -766,15 +828,31 @@ class Convolver:
         self._jit_step = None
         self._jit_process = None
 
-    def filter(self, partitions, sparsity: Any = None) -> None:
+    def filter(self, partitions, sparsity: Any = None,
+               pad_partitions: int | None = None) -> None:
+        """Install a partitioned filter ([P, K] or [C|1, P, K] spectra).
+
+        ``pad_partitions``: target partition count (>= P) to zero-pad the
+        ring to; None = auto. The extra ring slots carry real (but
+        zero-weighted) spectra, so results are exact — padding only buys
+        full-speed Pallas MAC chunks. Auto pads deep IRs to a multiple of
+        32 but short IRs only to the next multiple of 8 (a P=2 filter
+        padded to 32 would pay 16x the needed MAC traffic); pass
+        ``pad_partitions=P`` to disable padding entirely.
+        """
         partitions = np.asarray(partitions)
         if partitions.ndim == 2:
             partitions = partitions[None]
-        # Pad the partition count to a multiple of 32 with zero partitions:
-        # the extra ring slots carry real (but zero-weighted) spectra, so
-        # results are exact, and the Pallas MAC always gets full chunks.
         p_in = partitions.shape[1]
-        p_pad = -(-p_in // 32) * 32
+        if pad_partitions is None:
+            mult = 32 if p_in > 32 else 8 if p_in > 8 else 1
+            p_pad = -(-p_in // mult) * mult
+        else:
+            if pad_partitions < p_in:
+                raise ValueError(
+                    f"pad_partitions={pad_partitions} < filter partitions {p_in}"
+                )
+            p_pad = pad_partitions
         if p_pad != p_in:
             partitions = np.concatenate(
                 [

@@ -52,13 +52,14 @@ def split_ifft(re, im, n: int | None = None):
 
 
 def _pack_twiddles(half: int):
+    # Built with jnp ops (not a numpy literal): an embedded array constant
+    # costs a flat ~24 ms/call on the remote-execution runtime (see
+    # matmul_backend._LITERAL_MAX_BYTES); in-trace trig is microseconds.
     import numpy as np
 
-    k = np.arange(half + 1)
-    ang = -np.pi * k / half  # e^{-2 pi i k / (2*half)}
-    return jnp.asarray(np.cos(ang), jnp.float32), jnp.asarray(
-        np.sin(ang), jnp.float32
-    )
+    k = jnp.arange(half + 1, dtype=jnp.float32)
+    ang = k * jnp.float32(-np.pi / half)  # e^{-2 pi i k / (2*half)}
+    return jnp.cos(ang), jnp.sin(ang)
 
 
 def packed_rfft(x, n: int | None = None):

@@ -33,7 +33,14 @@ import jax.numpy as jnp
 from neojax.core.bits import bit_log2
 from neojax.fft import matmul_backend
 
-__all__ = ["fft_split_large", "rfft_split_large", "irfft_split_large", "split_n"]
+__all__ = [
+    "fft_split_large",
+    "rfft_split_large",
+    "irfft_split_large",
+    "rfft_packed_split_large",
+    "irfft_packed_split_large",
+    "split_n",
+]
 
 # Largest leaf DFT evaluated as a dense matmul. 512 and 256 measure within
 # noise of each other at N in [2^17, 2^22]; both beat 1024+ (flops scale
@@ -121,6 +128,37 @@ def rfft_split_large(x, n: int):
     half = n // 2
     zre, zim = fft_split_large(x[..., 0::2], x[..., 1::2], half)
     return pack_forward_post(zre, zim, half)
+
+
+def rfft_packed_split_large(x, n: int):
+    """Real [..., n] -> PACKED (re, im) planes, each [..., n//2].
+
+    The packed-512 lane convention of the streaming convolver (lane 0 of
+    the im-plane holds Nyquist.re; see ``matmul_backend.rfft_packed_split``)
+    evaluated through the four-step recursion instead of a dense [N, B]
+    matmul. At block 4096 (N = 8192) the dense matrices are ~2 x 134 MB and
+    get re-read from HBM every streamed block — this path touches only
+    O(batch * N) data per pass plus a few KB of leaf matrices, which is what
+    makes the reference's block-4096 benchmark grid
+    (``extra/benchmark/src/convolution.cpp:47-50``) transform-cheap on TPU.
+    """
+    re, im = rfft_split_large(x, n)
+    b = n // 2
+    pim = im[..., :b].at[..., 0].set(re[..., b])
+    return re[..., :b], pim
+
+
+def irfft_packed_split_large(re, im, n: int):
+    """PACKED (re, im) [..., n//2] -> real [..., n], normalized (1/n).
+
+    Inverse of :func:`rfft_packed_split_large`; consumes the convolver's
+    accumulator whose lane 0 holds the exact (DC, Nyquist) real MACs.
+    """
+    b = n // 2
+    ny = im[..., :1]
+    fre = jnp.concatenate([re, ny], axis=-1)
+    fim = jnp.concatenate([im.at[..., 0].set(0.0), jnp.zeros_like(ny)], axis=-1)
+    return irfft_split_large(fre, fim, n)
 
 
 def irfft_split_large(re, im, n: int):

@@ -45,11 +45,18 @@ __all__ = [
 
 # Per-matrix byte cap for embedding host-built matrices as program literals.
 # Above this (when called under tracing, power-of-two size) the matrices are
-# generated in-trace instead: giant HLO literals bloat compile time and on
-# remote-compile TPU runtimes the serialized program is outright rejected
-# (HTTP 413) once the constants reach hundreds of MB. 4 MB keeps every hot
-# streaming-engine transform (N <= 1024 rfft) on the literal path.
-_LITERAL_MAX_BYTES = 4 << 20
+# generated in-trace instead. Two independent reasons to avoid literals:
+#   1. Giant HLO literals bloat compile time, and on remote-compile TPU
+#      runtimes the serialized program is rejected (HTTP 413) at 100s of MB.
+#   2. On the remote-execution runtime, ANY embedded array literal >= ~16 KiB
+#      costs a flat ~24 ms of per-CALL dispatch latency (measured r4,
+#      size-independent from 16 KiB to 16 MiB) — 300x the actual device time
+#      of a block-512 streaming step. In-trace generation costs microseconds
+#      of VPU trig once per call (hoist it outside lax.scan — XLA does NOT
+#      hoist it for you; see ``_transform_mats`` in ``conv.convolver``).
+# So: literals only below 4 KB (where XLA may fold them into neighbours),
+# in-trace generation everywhere else.
+_LITERAL_MAX_BYTES = 4 << 10
 
 
 def _use_traced(n: int, rows: int, cols: int) -> bool:
@@ -155,12 +162,17 @@ def _matmul(x, m, precision=lax.Precision.HIGHEST):
     # HIGH (3-pass) or DEFAULT (1-pass) explicitly to trade those passes
     # for throughput, matching their storage error floor.
     #
-    # bf16 OPERANDS are accepted and imply the 1-pass path: DEFAULT rounds
-    # f32 operands to bf16 inside the MXU anyway, so callers that keep
-    # their big tensors bf16 end-to-end halve HBM traffic at bit-identical
-    # matmul numerics (the nested engine's bf16 rung does this).
+    # bf16 OPERANDS are accepted on the 1-pass (DEFAULT) path only: DEFAULT
+    # rounds f32 operands to bf16 inside the MXU anyway, so callers that
+    # keep their big tensors bf16 end-to-end halve HBM traffic at
+    # bit-identical matmul numerics (the nested engine's bf16 rung does
+    # this). A bf16 operand with a multi-pass precision request is upcast
+    # instead — the downcast must never silently defeat an exactness ask.
     if x.dtype == jnp.bfloat16 and m.dtype != jnp.bfloat16:
-        m = m.astype(jnp.bfloat16)
+        if precision in (None, lax.Precision.DEFAULT):
+            m = m.astype(jnp.bfloat16)
+        else:
+            x = x.astype(jnp.float32)
     return lax.dot_general(
         x,
         m,

@@ -2,9 +2,13 @@
 
 Mirrors the reference's partitioned-convolver benchmark grid
 (``/root/reference/extra/benchmark/src/convolution.cpp:42-64``): block
-4096, filter lengths swept in powers of two, items/s (samples) and
-bytes/s counters per engine — re-expressed for TPU (batched channels,
-per-chip rates, per-block streaming through the fused stream kernel).
+4096, filter lengths swept 2^11..2^17, items/s (samples) and bytes/s
+counters per engine — re-expressed for TPU (batched channels, per-chip
+rates, streaming through the four-step transform + Pallas MAC path).
+
+Partition counts are the REAL ceil(L / block) — no padding floor — so the
+sweep varies actual MAC work and ``bytes_per_sec`` reflects the traffic
+the configuration truly moves (the FDL read per block, the hot term).
 
 Writes BENCH_GRID.json. Run on the TPU:  python tools/bench_grid.py
 """
@@ -23,8 +27,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BLOCK = 4096
 CHANNELS = 64
-FILTERS = [1 << 13, 1 << 15, 1 << 17]  # reference sweeps 2^11..2^17
-NB = 128  # blocks per timing stream
+FILTERS = [1 << e for e in range(11, 18)]  # reference: 2^11..2^17
+# Blocks per timing stream: one fetch-sync on this remote runtime costs a
+# flat ~26 ms, so the stream must be long enough to amortize it (512
+# blocks -> ~50 us/block of inflation, <10% of signal).
+NB = 512
 
 
 def main() -> None:
@@ -40,18 +47,25 @@ def main() -> None:
     from neojax.conv import convolver as cv
 
     rng = np.random.default_rng(0)
-    sig = jnp.asarray(rng.uniform(-1, 1, (CHANNELS, NB * BLOCK)), jnp.float32)
+    # Signal generated ON DEVICE (a 512 MB host->device upload through the
+    # tunnel would dominate wall time).
+    sig = jax.jit(
+        lambda: jax.random.uniform(
+            jax.random.PRNGKey(0), (CHANNELS, NB * BLOCK), jnp.float32, -1, 1
+        )
+    )()
+    jax.block_until_ready(sig)
     grid = {}
     for storage in ("split", "bf16"):
         for L in FILTERS:
-            p_raw = -(-L // BLOCK)
-            p = max(32, -(-p_raw // 32) * 32)
-            parts = np.zeros((1, p, BLOCK + 1), np.complex64)
-            act = (
-                rng.standard_normal((p_raw, BLOCK + 1))
-                + 1j * rng.standard_normal((p_raw, BLOCK + 1))
-            ) * 0.05
-            parts[0, :p_raw] = act
+            p = max(1, -(-L // BLOCK))
+            parts = (
+                (
+                    rng.standard_normal((1, p, BLOCK + 1))
+                    + 1j * rng.standard_normal((1, p, BLOCK + 1))
+                )
+                * 0.05
+            ).astype(np.complex64)
             cfg = cv.PartitionedConfig(
                 BLOCK, p, CHANNELS, storage=storage, mac_backend="pallas"
             )
@@ -68,17 +82,20 @@ def main() -> None:
                 ts.append(time.perf_counter() - t0)
             dt = min(ts)
             sps = CHANNELS * NB * BLOCK / dt
-            # reference items/s + bytes/s taxonomy (convolution.cpp:42-44)
+            # reference items/s + bytes/s taxonomy (convolution.cpp:42-44):
+            # bytes = the per-block FDL read (2 planes x P x C x B lanes),
+            # computed from the REAL partition count.
             itemsize = {"split": 4, "bf16": 2}[storage]
             bytes_moved = NB * (2 * p * CHANNELS * BLOCK * itemsize)
             grid[f"upols/{storage}/L{L}"] = {
                 "samples_per_sec": round(sps, 1),
                 "bytes_per_sec": round(bytes_moved / dt, 1),
                 "us_per_block": round(dt / NB * 1e6, 1),
-                "partitions": p_raw,
+                "partitions": p,
+                "fourstep_transform": cv._use_fourstep_stream(cfg),
             }
             print(f"# upols/{storage}/L{L}: {sps/1e6:.1f} M samples/s "
-                  f"({dt/NB*1e6:.1f} us/block, P={p_raw})", file=sys.stderr)
+                  f"({dt/NB*1e6:.1f} us/block, P={p})", file=sys.stderr)
 
     out = {
         "metric": "partitioned_conv_grid_block4096",
