@@ -172,6 +172,19 @@ def _fft_precisions(config: PartitionedConfig):
     return _chunked_fft_precisions(config)
 
 
+# Flip to run the Pallas nested-MAC kernel in interpreter mode (CPU
+# tests); read at trace time — clear jax caches when toggling.
+_INTERPRET = False
+
+
+def _use_nested_kernel(config: PartitionedConfig) -> bool:
+    """Pallas nested-MAC with fused dequant: quantized storages on TPU
+    (shared filters; the per-channel case keeps the XLA gather path)."""
+    if config.mac_backend == "xla":
+        return False
+    return _INTERPRET or jax.default_backend() == "tpu"
+
+
 def _static_dims(params: dict) -> tuple[int, int, bool]:
     """(p2, s, shared) from the filter's static shapes (jit-safe: no int
     leaves in the params pytree — those would trace under jit)."""
@@ -303,7 +316,21 @@ def process_nested(
             xg_re = fdl[0][ages]
             xg_im = fdl[1][ages]
 
-        if shared:
+        if shared and quant and _use_nested_kernel(config):
+            # Pallas kernel: int planes + scale table straight from HBM,
+            # dequant in-register (group scales lane-expanded in-kernel) —
+            # no f32 delay-line materialization pass.
+            from neojax.kernels.nested_mac import nested_mac_pallas
+
+            acc_re, acc_im = nested_mac_pallas(
+                fdl,
+                scales,
+                fre[:, 0].astype(jnp.float32),
+                fim[:, 0].astype(jnp.float32),
+                interpret=_INTERPRET,
+            )
+            xr = None  # MAC done; skip the XLA path below
+        elif shared:
             xr = fdl[0].astype(jnp.float32)
             xi = fdl[1].astype(jnp.float32)
             fr = fre.astype(jnp.float32)
@@ -315,21 +342,26 @@ def process_nested(
             fr = filt_re.astype(jnp.float32)
             fi = filt_im.astype(jnp.float32)
             dq = scales[ages] if quant else None
-        if quant:
-            g = _quant_groups(config, s)
-            gs = 2 * s // g
-            if g == 1:
-                # Row-granular scale (int16): a scalar-per-row broadcast
-                # that XLA fuses straight into the MAC — no reshape pass.
-                dqr = dq * (1.0 / imax)  # [P2, C, K, 1]
-                xr = xr * dqr
-                xi = xi * dqr
-            else:
-                dq = (dq * (1.0 / imax))[..., None]  # [P2, C, K, G, 1]
-                xr = (xr.reshape(p2, c, k, g, gs) * dq).reshape(p2, c, k, 2 * s)
-                xi = (xi.reshape(p2, c, k, g, gs) * dq).reshape(p2, c, k, 2 * s)
-        acc_re = jnp.sum(xr * fr - xi * fi, axis=0)  # [C, K, 2S]
-        acc_im = jnp.sum(xr * fi + xi * fr, axis=0)
+        if xr is not None:
+            if quant:
+                g = _quant_groups(config, s)
+                gs = 2 * s // g
+                if g == 1:
+                    # Row-granular scale (int16): a scalar-per-row
+                    # broadcast that XLA fuses straight into the MAC.
+                    dqr = dq * (1.0 / imax)  # [P2, C, K, 1]
+                    xr = xr * dqr
+                    xi = xi * dqr
+                else:
+                    dq = (dq * (1.0 / imax))[..., None]  # [P2, C, K, G, 1]
+                    xr = (xr.reshape(p2, c, k, g, gs) * dq).reshape(
+                        p2, c, k, 2 * s
+                    )
+                    xi = (xi.reshape(p2, c, k, g, gs) * dq).reshape(
+                        p2, c, k, 2 * s
+                    )
+            acc_re = jnp.sum(xr * fr - xi * fi, axis=0)  # [C, K, 2S]
+            acc_im = jnp.sum(xr * fi + xi * fr, axis=0)
 
         # inverse meta-FFT (unnormalized fwd-with-swapped-sign + 1/2S)
         yre, yim = matmul_backend.fft_split(
