@@ -263,7 +263,9 @@ def filter_params(
                 config.channels,
                 config.block_size,
             )
-            csched = build_chunk_schedule(mask, pcf)
+            csched = build_chunk_schedule(
+                mask, pcf, lanes=config.block_size
+            )
             params["sp_c_idx"] = jnp.asarray(csched["c_idx"])
             params["sp_c_flags"] = jnp.asarray(csched["flags"])
     return params

@@ -124,9 +124,12 @@ def _mk_kernel(*, npc: int, pc: int, p: int, c: int, cf: int, b: int, cpad: int,
 
         # Sparse mode: loop step j visits chunk crow[j] (flag-0 pad entries
         # DMA a valid chunk but skip the accumulate — keeps the prefetch
-        # pipeline branch-free); dense mode: chunk j.
+        # pipeline branch-free); dense mode: chunk j. Entries may carry a
+        # lane-width code in bits 16+ (the stream kernel's lane skipping);
+        # this per-block kernel ignores it (full-width DMA is always
+        # correct — masked filter bins are zero).
         def chunk_of(j):
-            return crow_ref[j] if sparse else j
+            return (crow_ref[j] & 0xFFFF) if sparse else j
 
         nloop = n_sched if sparse else npc
 
@@ -450,7 +453,7 @@ def _rem(a, b):
 def _mk_stream_kernel(*, nb: int, npc: int, pc: int, p: int, c: int, cf: int,
                       b: int, cpad: int, quant: bool, shared: bool,
                       inv_max: float, int_max: float, dt, n_sched: int,
-                      interpret_seed: bool):
+                      widths: tuple, interpret_seed: bool):
     sparse = n_sched > 0
     n = 2 * b
 
@@ -481,7 +484,17 @@ def _mk_stream_kernel(*, nb: int, npc: int, pc: int, p: int, c: int, cf: int,
             nloop_next = npc
 
         def chunk_of(row, jj):
-            return crow_ref[0, row, jj] if sparse else jj
+            """(chunk index, width code) of loop slot jj. Schedule entries
+            carry a lane-width code in bits 16+ (``build_chunk_schedule``
+            with lanes=B): only the first widths[code] lanes of the chunk
+            are live — the perceptual (bin-structured) mask's fast path."""
+            if not sparse:
+                return jj, jnp.zeros((), jnp.int32)
+            v = jnp.asarray(crow_ref[0, row, jj])
+            # dtype-safe (interpret mode traces indices as int64)
+            return v & jnp.asarray(0xFFFF, v.dtype), lax.shift_right_logical(
+                v, jnp.asarray(16, v.dtype)
+            )
 
         def rot_params(pos_v):
             fstart = p - 1 - pos_v
@@ -490,33 +503,65 @@ def _mk_stream_kernel(*, nb: int, npc: int, pc: int, p: int, c: int, cf: int,
                 return fstart, r8, fstart - r8
             return fstart, None, None
 
-        def fdl_dma(slot, cj):
+        def fdl_copy(slot, cj, wd):
             return pltpu.make_async_copy(
-                fdl_out.at[:, pl.ds(cj * pc, pc)], fdlbuf.at[slot],
+                fdl_out.at[:, pl.ds(cj * pc, pc), :, pl.ds(0, wd)],
+                fdlbuf.at[slot, :, :, :, pl.ds(0, wd)],
                 dma_sems.at[slot, 0],
             )
 
-        def rim_dma(slot, cj, fstart, r8, base):
+        def rim_copies(slot, cj, wd, fstart, r8, base):
             if shared:
                 off = pl.multiple_of(base + cj * pc, 8)
-                src = rim_any.at[r8, pl.ds(off, pc)]
+                src_re = rim_any.at[r8, pl.ds(off, pc), pl.ds(0, wd)]
+                src_im = rim_any.at[r8, pl.ds(off, pc), pl.ds(b, wd)]
+                dst_re = rimbuf.at[slot, :, pl.ds(0, wd)]
+                dst_im = rimbuf.at[slot, :, pl.ds(b, wd)]
             else:
-                src = rim_any.at[pl.ds(fstart + cj * pc, pc)]
-            return pltpu.make_async_copy(src, rimbuf.at[slot], dma_sems.at[slot, 1])
+                rows_s = pl.ds(fstart + cj * pc, pc)
+                src_re = rim_any.at[rows_s, :, pl.ds(0, wd)]
+                src_im = rim_any.at[rows_s, :, pl.ds(b, wd)]
+                dst_re = rimbuf.at[slot, :, :, pl.ds(0, wd)]
+                dst_im = rimbuf.at[slot, :, :, pl.ds(b, wd)]
+            return (
+                pltpu.make_async_copy(src_re, dst_re, dma_sems.at[slot, 1]),
+                pltpu.make_async_copy(src_im, dst_im, dma_sems.at[slot, 2]),
+            )
+
+        def _for_width(wc, fn):
+            """Run fn(width) under pl.when for each static width (DMA
+            slices must be static; the code picks the branch)."""
+            if len(widths) == 1:
+                fn(widths[0])
+                return
+            for ci, wd in enumerate(widths):
+                @pl.when(wc == ci)
+                def _(wd=wd):
+                    fn(wd)
 
         def start_chunk(slot, row, jj, rot):
-            cj = chunk_of(row, jj)
-            fdl_dma(slot, cj).start()
-            rim_dma(slot, cj, *rot).start()
+            cj, wc = chunk_of(row, jj)
+
+            def go(wd):
+                fdl_copy(slot, cj, wd).start()
+                cre, cim = rim_copies(slot, cj, wd, *rot)
+                cre.start()
+                cim.start()
+
+            _for_width(wc, go)
 
         def wait_chunk(slot, row, jj):
-            cj = chunk_of(row, jj)
-            fdl_dma(slot, cj).wait()
-            # the rim wait needs only the semaphore; rotation args are
-            # irrelevant for the wait but must be shape-consistent
-            rim_dma(slot, cj, jnp.zeros((), jnp.int32),
-                    jnp.zeros((), jnp.int32) if shared else None,
-                    jnp.zeros((), jnp.int32) if shared else None).wait()
+            cj, wc = chunk_of(row, jj)
+            z = jnp.zeros((), jnp.int32)
+            rot0 = (z, z, z) if shared else (z, None, None)
+
+            def go(wd):
+                fdl_copy(slot, cj, wd).wait()
+                cre, cim = rim_copies(slot, cj, wd, *rot0)
+                cre.wait()
+                cim.wait()
+
+            _for_width(wc, go)
 
         rot_i = rot_params(pos)
 
@@ -594,7 +639,7 @@ def _mk_stream_kernel(*, nb: int, npc: int, pc: int, p: int, c: int, cf: int,
                 start_chunk(_rem(j + 2, _SLOTS), 0, j + 2, rot_i)
 
             wait_chunk(slot, 0, j)
-            cj = chunk_of(0, j)
+            cj, wc = chunk_of(0, j)
             in_chunk = jnp.logical_and(pos >= cj * pc, pos < (cj + 1) * pc)
             local = pos - cj * pc
 
@@ -602,25 +647,24 @@ def _mk_stream_kernel(*, nb: int, npc: int, pc: int, p: int, c: int, cf: int,
             def _():
                 fdlbuf[slot, :, pl.ds(local, 1)] = qrow_ref[...]
 
-            def accumulate():
-                x = fdlbuf[slot].astype(jnp.float32)
+            def accumulate(wd):
+                x = fdlbuf[slot, :, :, :, pl.ds(0, wd)].astype(jnp.float32)
                 if quant:
                     s = lax.slice(
                         sclbuf[pl.ds(cj * pc, pc)], (0, 0), (pc, c)
                     )  # [pc, C] (freshly updated row included)
                     x = x * (s * inv_max)[None, :, :, None]
-                rim = rimbuf[slot].astype(jnp.float32)
                 if shared:
-                    fr = lax.slice(rim, (0, 0), (pc, b))[:, None]
-                    fi = lax.slice(rim, (0, b), (pc, 2 * b))[:, None]
+                    fr = rimbuf[slot, :, pl.ds(0, wd)].astype(jnp.float32)[:, None]
+                    fi = rimbuf[slot, :, pl.ds(b, wd)].astype(jnp.float32)[:, None]
                 else:
-                    fr = lax.slice(rim, (0, 0, 0), (pc, cf, b))
-                    fi = lax.slice(rim, (0, 0, b), (pc, cf, 2 * b))
+                    fr = rimbuf[slot, :, :, pl.ds(0, wd)].astype(jnp.float32)
+                    fi = rimbuf[slot, :, :, pl.ds(b, wd)].astype(jnp.float32)
                 xr, xi = x[0], x[1]
-                acc_ref[0] += jnp.sum(xr * fr - xi * fi, axis=0)
-                acc_ref[1] += jnp.sum(xr * fi + xi * fr, axis=0)
+                acc_ref[0, :, pl.ds(0, wd)] += jnp.sum(xr * fr - xi * fi, axis=0)
+                acc_ref[1, :, pl.ds(0, wd)] += jnp.sum(xr * fi + xi * fr, axis=0)
 
-            accumulate()
+            _for_width(wc, accumulate)
             return carry
 
         lax.fori_loop(0, nloop, body, 0, unroll=False)
@@ -703,11 +747,14 @@ def fused_stream(sigpad, fdl, filt_rim, pos0, dcfix_all, cs, abt,
     n_sched = 0 if sched is None else int(sched[0].shape[2])
     cpad = -(-c // 128) * 128
 
+    from neojax.kernels.sparse_mac import lane_widths
+
+    widths = tuple(lane_widths(b)) if n_sched else (b,)
     kernel = _mk_stream_kernel(
         nb=nb, npc=npc, pc=pc, p=p, c=c, cf=cf, b=b, cpad=cpad,
         quant=quant, shared=shared_filter,
         inv_max=inv_max, int_max=int_max, dt=dt, n_sched=n_sched,
-        interpret_seed=interpret,
+        widths=widths, interpret_seed=interpret,
     )
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -767,7 +814,7 @@ def fused_stream(sigpad, fdl, filt_rim, pos0, dcfix_all, cs, abt,
         pltpu.VMEM((_SLOTS, 2, pc, c, b), dt),         # fdl chunk slots
         pltpu.VMEM((_SLOTS,) + rshape, filt_rim.dtype),  # filter slots
         pltpu.SemaphoreType.DMA((2,)),                 # window sems
-        pltpu.SemaphoreType.DMA((_SLOTS, 2)),          # chunk sems
+        pltpu.SemaphoreType.DMA((_SLOTS, 3)),          # fdl / rim-re / rim-im
         pltpu.SemaphoreType.DMA((2,)),                 # row / scales sems
     ]
 

@@ -40,16 +40,39 @@ __all__ = [
 ]
 
 
-def build_chunk_schedule(mask: np.ndarray, p_chunk: int):
-    """Chunk-level (partition-axis only) sparse schedule for the FUSED step.
+def lane_widths(b: int) -> list[int]:
+    """Quantized live-lane widths for the fused kernel's lane skipping:
+    [b, b/2, b/4, ...] down to the 128-lane tile floor. Width code ``w``
+    means "only the first ``lane_widths(b)[w]`` lanes of this chunk are
+    live" — DMA slices must be static, so cutoffs round UP to a width."""
+    out = [b]
+    while out[-1] % 2 == 0 and out[-1] // 2 >= 128 and out[-1] // 2 % 128 == 0:
+        out.append(out[-1] // 2)
+    return out
 
-    The fused kernel reads full-lane FDL rows, so only partition-chunk
-    granularity can be skipped there. ``mask`` [P, K] or [P, C', K] ->
-    ``{"c_idx": [P, L] i32, "flags": [P, L] i32, "density": float}`` where
-    row ``w`` lists the chunk indices (ascending) containing at least one
-    ring slot whose rotated filter partition is unmasked at write position
-    ``w``. Padded with flag-0 entries pointing at the last real chunk
-    (valid DMA target, accumulate skipped).
+
+def build_chunk_schedule(mask: np.ndarray, p_chunk: int, lanes: int | None = None):
+    """Chunk-level sparse schedule for the FUSED step.
+
+    ``mask`` [P, K] or [P, C', K] ->
+    ``{"c_idx": [P, L] i32, "flags": [P, L] i32, "density": float,
+    "lane_density": float}`` where row ``w`` lists the chunk indices
+    (ascending) containing at least one ring slot whose rotated filter
+    partition is unmasked at write position ``w``. Padded with flag-0
+    entries pointing at the last real chunk (valid DMA target, accumulate
+    skipped).
+
+    ``lanes`` (the packed lane count B) enables LANE-granular skipping on
+    top: each listed chunk's entry carries a width code in bits 16+
+    (``c_idx = chunk | code << 16``) saying only the first
+    ``lane_widths(B)[code]`` lanes are live in that chunk. This is what
+    makes the *perceptual* (bin-structured) mask pay in the fused path:
+    an A-weighted threshold keeps low bins across all partitions
+    (``DenseConvolution.cpp:245-250``) — no whole partition ever dies, but
+    late partitions keep only low frequencies, so their chunks read only a
+    prefix of the lane axis. Exactness is unconditional: bins outside the
+    mask are zero in the filter, and bins outside the width are never
+    accumulated (the accumulator is zero-initialized).
     """
     mask = np.asarray(mask, bool)
     if mask.ndim == 3:
@@ -60,29 +83,64 @@ def build_chunk_schedule(mask: np.ndarray, p_chunk: int):
         raise ValueError(f"P={p} not a multiple of p_chunk={p_chunk}")
     npc = p // p_chunk
 
+    widths = lane_widths(lanes) if lanes else None
+    if widths is not None:
+        # Highest live PACKED lane per partition: cols 0..B-1 are lanes,
+        # col B (Nyquist) lives in lane 0 of the im plane.
+        k = mask.shape[1]
+        lane_live = mask[:, : min(lanes, k)].copy()
+        if k > lanes:
+            lane_live[:, 0] |= mask[:, lanes]
+        hi = np.where(
+            lane_live.any(axis=1),
+            lane_live.shape[1] - 1 - np.argmax(lane_live[:, ::-1], axis=1),
+            -1,
+        )
+        need = hi + 1  # [P] lanes needed (0 = none)
+
     rev = active_part[::-1]
     tiled = np.concatenate([rev, rev], axis=0)
+    if widths is not None:
+        need_tiled = np.concatenate([need[::-1], need[::-1]], axis=0)
     rows = []
+    codes = []
     for w in range(p):
         rot = tiled[p - 1 - w : 2 * p - 1 - w]  # rot[i] = active[(w - i) % P]
         act = rot.reshape(npc, p_chunk).any(axis=1)
-        rows.append(np.nonzero(act)[0])
+        cc = np.nonzero(act)[0]
+        rows.append(cc)
+        if widths is not None:
+            rot_need = need_tiled[p - 1 - w : 2 * p - 1 - w]
+            chunk_need = rot_need.reshape(npc, p_chunk).max(axis=1)[cc]
+            code = np.zeros(len(cc), np.int32)
+            for ci, wd in enumerate(widths[1:], start=1):
+                code[chunk_need <= wd] = ci
+            codes.append(code)
     lengths = [len(r) for r in rows]
     l_max = max(lengths)
     if l_max == 0:
         raise ValueError("empty sparsity mask: no active partitions")
     c_idx = np.zeros((p, l_max), np.int32)
     flags = np.zeros((p, l_max), np.int32)
+    lane_cost = []
     for w, cc in enumerate(rows):
         n = len(cc)
-        c_idx[w, :n] = cc
+        ent = cc.astype(np.int32)
+        if widths is not None and n:
+            ent = ent | (codes[w] << 16)
+            lane_cost.append(
+                float(np.sum([widths[c] for c in codes[w]])) / (npc * (lanes or 1))
+            )
+        c_idx[w, :n] = ent
         flags[w, :n] = 1
         if n < l_max:
-            c_idx[w, n:] = cc[-1] if n else 0
+            c_idx[w, n:] = ent[-1] if n else 0
     return {
         "c_idx": c_idx,
         "flags": flags,
         "density": float(np.mean(lengths) / npc),
+        "lane_density": float(np.mean(lane_cost)) if lane_cost else
+        float(np.mean(lengths) / npc),
     }
 
 

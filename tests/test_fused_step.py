@@ -140,3 +140,45 @@ def test_fused_sparse_matches_masked_dense(fused_interpret, rng, storage):
         jax.clear_caches()
     scale = max(1e-6, np.abs(out_d).max())
     assert np.abs(np.asarray(out_s) - out_d).max() / scale < _TOL[storage]
+
+
+@pytest.mark.parametrize("storage", ["split", "int8"])
+def test_fused_lane_sparse_perceptual_mask(fused_interpret, rng, storage):
+    """Lane-width skipping (r4): a BIN-structured mask (low bins kept in
+    every partition, cutoff falling with partition index — the perceptual
+    plugin pattern, ``DenseConvolution.cpp:245-250``) routed through the
+    fused stream's width-coded schedule equals the dense path on the same
+    masked filter. Exercises multiple width codes and the two-segment
+    filter DMA."""
+    from neojax.kernels.sparse_mac import build_chunk_schedule, lane_widths
+
+    b, p, c = 256, 16, 4
+    assert lane_widths(b) == [256, 128]
+    parts = _mk(rng, p, b + 1)
+    mask = np.zeros((p, b + 1), bool)
+    for p_i in range(p):
+        cut = max(8, int((b + 1) * (1.0 - p_i / p)))
+        mask[p_i, :cut] = True
+    sig = rng.uniform(-1, 1, (c, 8 * b)).astype(np.float32)
+
+    saved = fused_step._CHUNK_TARGET
+    fused_step._CHUNK_TARGET = 2 * c * b * 4 * 4  # 4 rows/chunk
+    try:
+        pc = fused_step.fused_chunk_rows(jnp.float32, p, c, b)
+        sched = build_chunk_schedule(mask, pc, lanes=b)
+        used = np.unique(sched["c_idx"][sched["flags"] == 1] >> 16)
+        assert len(used) > 1, "mask must exercise multiple width codes"
+        assert sched["lane_density"] < 1.0
+
+        cfg = cv.PartitionedConfig(b, p, c, storage=storage, fused=True)
+        params_s = cv.filter_params(cfg, parts, sparsity=mask)
+        state = cv.init_state(cfg)
+        _, out_s = cv.process(cfg, params_s, state, jnp.asarray(sig))
+
+        masked = np.where(mask[None], parts, 0)
+        out_d = _run(cfg, masked, sig)
+    finally:
+        fused_step._CHUNK_TARGET = saved
+        jax.clear_caches()
+    scale = max(1e-6, np.abs(out_d).max())
+    assert np.abs(np.asarray(out_s) - out_d).max() / scale < _TOL[storage]

@@ -1,0 +1,225 @@
+"""Bandwidth-calibration artifact (VERDICT r3 next #5): ROOFLINE_CAL.json.
+
+One process, one chip claim, four measurements on the production per-block
+shapes ([2, 960, 64, 512] FDL, 64 ch, block 512):
+
+  1. ``xla_stream``   — the XLA read-loop reference rate (8-array sum).
+  2. ``dma_only``     — a Pallas kernel with the SAME BlockSpec chunking
+     as the MAC kernel but compute stripped to one sublane row: measures
+     what the DMA engine delivers for this exact access pattern.
+  3. ``mac_kernel``   — ``fdl_mac_pallas`` proper (DMA + VPU complex MAC).
+  4. ``fused_stream`` — the whole production engine (``cv.process``,
+     fused whole-stream kernel), effective GB/s from bench.py's bytes
+     model, for bf16 AND int8 (the int8-dequant-headroom question).
+
+"Saturated" claims in docs/design.md section 4b become this committed,
+same-claim artifact. Run on the TPU: python tools/roofline_cal.py
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BLOCK = 512
+CHANNELS = 64
+P = 960
+ITERS = 64
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if jax.default_backend() != "tpu":
+        print("requires the TPU; skipping", file=sys.stderr)
+        return
+
+    from neojax.bench.harness import (
+        hbm_achievable_bytes_per_sec,
+        hbm_peak_bytes_per_sec,
+    )
+    from neojax.conv import fdl as fdl_lib
+    from neojax.kernels.fdl_mac import choose_chunks, fdl_mac_pallas
+
+    peak = hbm_peak_bytes_per_sec() or 0.0
+    rng = np.random.default_rng(0)
+    results = {}
+
+    def record(name, dt_per_iter, nbytes):
+        gbps = nbytes / dt_per_iter / 1e9
+        results[name] = {
+            "gbps": round(gbps, 1),
+            "us_per_iter": round(dt_per_iter * 1e6, 1),
+            "roofline_fraction": round(gbps * 1e9 / peak, 3) if peak else None,
+        }
+        print(f"# {name}: {gbps:.0f} GB/s ({dt_per_iter*1e6:.1f} us/iter)",
+              file=sys.stderr)
+
+    results["spec_peak_gbps"] = round(peak / 1e9, 1)
+    xla = hbm_achievable_bytes_per_sec()
+    results["xla_stream"] = {"gbps": round(xla / 1e9, 1),
+                             "roofline_fraction": round(xla / peak, 3)}
+    print(f"# xla_stream: {xla/1e9:.0f} GB/s", file=sys.stderr)
+
+    def scan_timer(make_body, carry0, nbytes, name):
+        @jax.jit
+        def loop(carry):
+            def body(c, _):
+                return make_body(c), None
+            out, _ = jax.lax.scan(body, carry, None, length=ITERS)
+            return out
+
+        out = loop(carry0)
+        float(jnp.sum(jnp.abs(jax.tree.leaves(out)[0]).astype(jnp.float32)))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = loop(carry0)
+            float(jnp.sum(jnp.abs(jax.tree.leaves(out)[0]).astype(jnp.float32)))
+            ts.append(time.perf_counter() - t0)
+        record(name, min(ts) / ITERS, nbytes)
+
+    for storage, dt_ in (("bf16", jnp.bfloat16), ("split", jnp.float32)):
+        fdl = jnp.asarray(
+            rng.standard_normal((2, P, CHANNELS, BLOCK)), dt_
+        )
+        tiled_re = jnp.asarray(
+            rng.standard_normal((2 * P, 1, BLOCK)), jnp.float32
+        )
+        tiled_im = jnp.asarray(
+            rng.standard_normal((2 * P, 1, BLOCK)), jnp.float32
+        )
+        nbytes = 2 * P * CHANNELS * BLOCK * jnp.dtype(dt_).itemsize
+        k_tile, pc = choose_chunks(dt_, P, CHANNELS, BLOCK)
+
+        # ---- stripped kernel: same grid/BlockSpecs, compute = 1 row
+        def _stripped(fdl_ref, fr_ref, or_ref):
+            p_i = pl.program_id(1)
+            row = fdl_ref[0, 0].astype(jnp.float32)  # [C, Kt] of the block
+            f0 = fr_ref[0]  # [Kt]
+
+            @pl.when(p_i == 0)
+            def _():
+                or_ref[...] = row * f0[None]
+
+            @pl.when(p_i > 0)
+            def _():
+                or_ref[...] += row * f0[None]
+
+        nk = pl.cdiv(BLOCK, k_tile)
+        npc = P // pc
+
+        @functools.partial(jax.jit)
+        def dma_only(fdl, fr):
+            return pl.pallas_call(
+                _stripped,
+                grid=(nk, npc),
+                in_specs=[
+                    pl.BlockSpec(
+                        (2, pc, CHANNELS, k_tile),
+                        lambda kk, pp: (0, pp, 0, kk),
+                    ),
+                    pl.BlockSpec((pc, k_tile), lambda kk, pp: (pp, kk)),
+                ],
+                out_specs=pl.BlockSpec(
+                    (CHANNELS, k_tile), lambda kk, pp: (0, kk)
+                ),
+                out_shape=jax.ShapeDtypeStruct(
+                    (CHANNELS, BLOCK), jnp.float32
+                ),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel", "arbitrary"),
+                    vmem_limit_bytes=32 * 1024 * 1024,
+                ),
+            )(fdl, fr)
+
+        def dma_body(carry):
+            pos, acc = carry
+            fr = fdl_lib.rotated_filter(tiled_re, pos, P)[:, 0]
+            out = dma_only(fdl, fr)
+            return (jnp.mod(pos + 1, P), acc + out[0, :1]), None
+
+        def dma_make(carry):
+            return dma_body(carry)[0]
+
+        scan_timer(
+            dma_make,
+            (jnp.zeros((), jnp.int32), jnp.zeros((1,), jnp.float32)),
+            nbytes,
+            f"dma_only/{storage}",
+        )
+
+        # ---- the real MAC kernel, same rotated-filter dependency
+        def mac_make(carry):
+            pos, acc = carry
+            fr = fdl_lib.rotated_filter(tiled_re, pos, P)
+            fi = fdl_lib.rotated_filter(tiled_im, pos, P)
+            ar, ai = fdl_mac_pallas(fdl, fr, fi)
+            return (jnp.mod(pos + 1, P), acc + ar[0, :1])
+
+        scan_timer(
+            mac_make,
+            (jnp.zeros((), jnp.int32), jnp.zeros((1,), jnp.float32)),
+            nbytes,
+            f"mac_kernel/{storage}",
+        )
+
+    # ---- the full fused streaming engine (production path), bf16 + int8
+    from functools import partial as _partial
+
+    import bench as bench_mod
+    from neojax.conv import convolver as cv
+
+    sig = jax.jit(
+        lambda: jax.random.uniform(
+            jax.random.PRNGKey(1), (CHANNELS, 1875 * BLOCK), jnp.float32, -1, 1
+        )
+    )()
+    jax.block_until_ready(sig)
+    for storage in ("bf16", "int8", "split"):
+        cfg = cv.PartitionedConfig(
+            BLOCK, P, CHANNELS, storage=storage, mac_backend="pallas",
+            fused=True,
+        )
+        parts = bench_mod._make_parts(P, cfg.num_bins)
+        params = cv.filter_params(cfg, parts)
+        state = cv.init_state(cfg)
+        proc = jax.jit(_partial(cv.process, cfg), donate_argnums=(1,))
+        st, out = proc(params, state, sig)
+        float(jnp.sum(jnp.abs(out)))
+        ts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            st, out = proc(params, st, sig)
+            float(jnp.sum(jnp.abs(out)))
+            ts.append(time.perf_counter() - t0)
+        nb = 1875
+        dtb = min(ts) / nb
+        bpb = bench_mod._perblock_bytes(cfg, P, fused=True)
+        record(f"fused_stream/{storage}", dtb, bpb)
+        results[f"fused_stream/{storage}"]["samples_per_sec"] = round(
+            CHANNELS * nb * BLOCK / min(ts), 1
+        )
+
+    out = {"metric": "roofline_calibration_same_claim", "config":
+           {"block": BLOCK, "channels": CHANNELS, "partitions": P},
+           **results}
+    print(json.dumps(out))
+    with open("ROOFLINE_CAL.json", "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
