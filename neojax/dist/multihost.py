@@ -28,7 +28,12 @@ import jax.numpy as jnp
 
 from neojax.io.checkpoint import load_state, save_state
 
-__all__ = ["init_distributed", "StreamDriver"]
+__all__ = [
+    "init_distributed",
+    "StreamDriver",
+    "save_sharded_state",
+    "load_sharded_state",
+]
 
 
 def init_distributed(
@@ -52,15 +57,65 @@ def init_distributed(
     return True
 
 
+def save_sharded_state(path: str, state) -> None:
+    """Per-process checkpoint of a SHARDED state pytree: each process
+    writes only its addressable shards (keyed by device id) to its own
+    .npz — no cross-process gather, so a 256-host stream checkpoints with
+    zero DCN traffic. Pair with :func:`load_sharded_state`."""
+    import numpy as np
+
+    flat, _ = jax.tree_util.tree_flatten_with_path(state)
+    out = {}
+    for keypath, leaf in flat:
+        name = jax.tree_util.keystr(keypath)
+        for s in leaf.addressable_shards:
+            out[f"{name}__d{s.device.id}"] = np.asarray(s.data)
+    np.savez(path, **out)
+
+
+def load_sharded_state(path: str, like):
+    """Rebuild a sharded state pytree from this process's
+    :func:`save_sharded_state` file. ``like`` supplies shapes/shardings
+    (e.g. the freshly-initialized global state)."""
+    import numpy as np
+
+    with np.load(path) as f:
+        data = {k: f[k] for k in f.files}
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(like)
+    leaves = []
+    for keypath, leaf in flat:
+        name = jax.tree_util.keystr(keypath)
+        arrs = [
+            jax.device_put(data[f"{name}__d{s.device.id}"], s.device)
+            for s in leaf.addressable_shards
+        ]
+        leaves.append(
+            jax.make_array_from_single_device_arrays(
+                leaf.shape, leaf.sharding, arrs
+            )
+        )
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 @dataclass
 class StreamDriver:
     """Checkpointed streaming executor: run a (params, state, chunk) ->
     (state, out) step over a long stream, saving the carry every
-    ``checkpoint_every`` chunks and resuming from the latest checkpoint."""
+    ``checkpoint_every`` chunks and resuming from the latest checkpoint.
+
+    ``save_fn(path, state)`` / ``load_fn(path, like)`` default to the
+    single-host .npz format; multi-process jobs pass
+    :func:`save_sharded_state` / :func:`load_sharded_state` so each
+    process persists exactly its own shards."""
 
     process_fn: Callable
     checkpoint_path: str | None = None
     checkpoint_every: int = 16
+    save_fn: Callable = staticmethod(save_state)
+    load_fn: Callable = staticmethod(
+        lambda path, like: load_state(path)
+    )
 
     def run(self, params, state, chunks):
         """chunks: iterable of [C, T_chunk] arrays. Yields outputs."""
@@ -68,7 +123,7 @@ class StreamDriver:
         if self.checkpoint_path and os.path.exists(self._meta_path()):
             with open(self._meta_path()) as f:
                 start = int(f.read().strip())
-            state = load_state(self._state_path())
+            state = self.load_fn(self._state_path(), state)
 
         for i, chunk in enumerate(chunks):
             if i < start:
@@ -83,7 +138,7 @@ class StreamDriver:
 
     def _save(self, state, next_index: int) -> None:
         jax.block_until_ready(jax.tree.leaves(state)[0])
-        save_state(self._state_path(), state)
+        self.save_fn(self._state_path(), state)
         with open(self._meta_path(), "w") as f:
             f.write(str(next_index))
 
