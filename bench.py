@@ -330,6 +330,12 @@ def main():
             }
             if snr is not None:
                 engines[name]["snr_db_vs_f64"] = round(snr, 1)
+                # Explicit class labeling (VERDICT r3 #4): a row below its
+                # storage's reference SNR class says so in the artifact,
+                # not just by its absence from headline eligibility.
+                engines[name]["meets_snr_class"] = bool(
+                    snr >= _SNR_CLASS_DB[_storage_of(name)]
+                )
             if roof is not None:
                 engines[name]["roofline_fraction"] = round(roof, 3)
                 engines[name]["effective_gbps"] = round(bpb * nb / dt / 1e9, 1)
@@ -357,6 +363,12 @@ def main():
         record("chunked/bf16/S128", partial(bench_chunked, "bf16", 128))
         record("hybrid/bf16/S64", partial(bench_hybrid, "bf16", 64))
         record("hybrid/int8/S64", partial(bench_hybrid, "int8", 64))
+        # Exact-class rows at TRUE single-block (512-sample) latency: the
+        # reference's default convolver is exact f32 (allclose.hpp:36-37),
+        # so the ladder needs a >=90 dB row that is not throughput-capped
+        # by the uniform per-block step (VERDICT r3 #7).
+        record("hybrid/split/S64", partial(bench_hybrid, "split", 64))
+        record("hybrid/int16/S64", partial(bench_hybrid, "int16", 64))
         record("perblock/bf16/fused", partial(bench_perblock, "bf16", "pallas", True))
         record("perblock/int8/fused", partial(bench_perblock, "int8", "pallas", True))
         record("perblock/split/fused", partial(bench_perblock, "split", "pallas", True))

@@ -120,7 +120,7 @@ def hybrid_init_state(config: PartitionedConfig, params: dict) -> dict:
         state["meta_pos"] = jnp.zeros((), jnp.int32)
         if config.storage in ("int8", "int16"):
             state["meta_scales"] = jnp.ones(
-                (p2t, c, k, nested_lib._quant_groups(s_t)), jnp.float32
+                (p2t, c, k, nested_lib._quant_groups(config, s_t)), jnp.float32
             )
         prev_dtype = jnp.bfloat16 if config.storage == "bf16" else jnp.float32
         state["prev_spec"] = jnp.zeros((2, c, k, s), prev_dtype)
@@ -216,7 +216,7 @@ def process_hybrid(
             row_f = jnp.stack([xre, xim])
             if quant:
                 # group-refined meta-bin scales (see nested._QUANT_GROUPS)
-                g = nested_lib._quant_groups(s)
+                g = nested_lib._quant_groups(config, s)
                 gs = 2 * s // g
                 grp = row_f.reshape(2, c, k, g, gs)
                 peak = jnp.max(jnp.abs(grp), axis=(0, 4))  # [C, K, G]
@@ -255,7 +255,7 @@ def process_hybrid(
                 fi2 = tail_im.astype(jnp.float32)
                 dq = mscales[ages] if quant else None
             if quant:
-                g = nested_lib._quant_groups(s)
+                g = nested_lib._quant_groups(config, s)
                 gs = 2 * s // g
                 dqv = (dq * (1.0 / imax))[..., None]  # [P2t, C, K, G, 1]
                 xr = (xr.reshape(p2t, c, k, g, gs) * dqv).reshape(p2t, c, k, 2 * s)

@@ -1,0 +1,142 @@
+"""Fused-sparse density sweep (SPARSE_SWEEP.json), committed form (r4).
+
+Band masks (first fraction of partitions — IR truncation structure)
+through the fused whole-stream kernel's chunk schedule, one process, one
+claim. Also measures the near-zero-density row (1 chunk of 30) to pin
+the FIXED per-step cost f directly, and reports the linear fit
+``t(d) = f + d * t_fdl``: r3's "1.98x at d=0.3 vs 2.72x ceiling" gap is
+NOT chunk-boundary straddling (the measured curve is linear in d to <1%)
+— it is f itself (forward/inverse matmuls + window/insert DMA + loop
+overhead), which no amount of mask alignment removes.
+
+Run on the TPU: python tools/bench_sparse_sweep.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BLOCK = 512
+CHANNELS = 64
+P = 960
+STORAGE = "bf16"
+NB = 1875
+DENSITIES = [1.0 / 30.0, 0.1, 0.3, 0.5, 0.7]
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if jax.default_backend() != "tpu":
+        print("requires the TPU; skipping", file=sys.stderr)
+        return
+
+    from neojax.conv import convolver as cv
+
+    rng = np.random.default_rng(0)
+    parts = (
+        (
+            rng.standard_normal((1, P, BLOCK + 1))
+            + 1j * rng.standard_normal((1, P, BLOCK + 1))
+        )
+        * 0.05
+    ).astype(np.complex64)
+    sig = jax.jit(
+        lambda: jax.random.uniform(
+            jax.random.PRNGKey(1), (CHANNELS, NB * BLOCK), jnp.float32, -1, 1
+        )
+    )()
+    jax.block_until_ready(sig)
+
+    def run(mask):
+        cfg = cv.PartitionedConfig(
+            BLOCK, P, CHANNELS, storage=STORAGE, mac_backend="pallas",
+            fused=True,
+        )
+        params = cv.filter_params(cfg, parts, sparsity=mask)
+        state = cv.init_state(cfg)
+        proc = jax.jit(partial(cv.process, cfg), donate_argnums=(1,))
+        st, out = proc(params, state, sig)
+        float(jnp.sum(jnp.abs(out)))
+        ts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            st, out = proc(params, st, sig)
+            float(jnp.sum(jnp.abs(out)))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    rows = {}
+    dt = run(None)
+    dense_us = dt / NB * 1e6
+    rows["dense"] = {
+        "us_per_block": round(dense_us, 1),
+        "samples_per_sec": round(CHANNELS * NB * BLOCK / dt, 1),
+    }
+    print(f"# dense: {dense_us:.1f} us/block", file=sys.stderr)
+
+    xs, ys = [], []
+    for d in DENSITIES:
+        mask = np.zeros((P, BLOCK + 1), bool)
+        mask[: max(1, int(P * d))] = True
+        dt = run(mask)
+        us = dt / NB * 1e6
+        key = f"density_{d:.3f}" if d < 0.1 else f"density_{d:.1f}"
+        rows[key] = {
+            "us_per_block": round(us, 1),
+            "samples_per_sec": round(CHANNELS * NB * BLOCK / dt, 1),
+            "speedup_vs_dense": round(dense_us / us, 2),
+        }
+        xs.append(max(1, int(P * d)) / P)
+        ys.append(us)
+        print(
+            f"# d={d:.3f}: {us:.1f} us/block ({dense_us/us:.2f}x dense)",
+            file=sys.stderr,
+        )
+
+    # linear fit t(d) = f + d * t_fdl over the sweep (+ the dense point)
+    xs.append(1.0)
+    ys.append(dense_us)
+    a = np.polyfit(xs, ys, 1)
+    resid = float(
+        np.max(np.abs(np.polyval(a, xs) - np.asarray(ys)))
+    )
+    fit = {
+        "fixed_us": round(float(a[1]), 1),
+        "fdl_us_at_dense": round(float(a[0]), 1),
+        "max_fit_residual_us": round(resid, 2),
+        "note": "t(d) is linear in density to the residual above: the "
+        "sub-ceiling speedup is the FIXED per-step cost (transforms + "
+        "window/insert DMA + loop overhead), not chunk straddling.",
+    }
+    print(f"# fit: f={fit['fixed_us']} us + d*{fit['fdl_us_at_dense']} us "
+          f"(resid {fit['max_fit_residual_us']} us)", file=sys.stderr)
+
+    out = {
+        "metric": "fused_sparse_density_sweep",
+        "config": {
+            "block": BLOCK, "channels": CHANNELS, "partitions": P,
+            "storage": STORAGE,
+            "mask": "first-fraction-of-partitions band",
+        },
+        "rows": rows,
+        "linear_fit": fit,
+    }
+    print(json.dumps(out))
+    with open("SPARSE_SWEEP.json", "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
