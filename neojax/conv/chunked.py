@@ -226,6 +226,8 @@ def process_chunked(
 
     prec = _precision(config)
     fwd_prec, inv_prec = _fft_precisions(config)
+    rf_cat = matmul_backend.rfft_cat_matrices(n)
+    irf_cat = matmul_backend.irfft_cat_matrices(n)
 
     def chunk_step(carry, chunk):  # chunk [S, C, B]
         tail, hists = carry
@@ -238,7 +240,9 @@ def process_chunked(
             frames = jnp.pad(chunk, ((0, 0), (0, 0), (0, n - b)))
             new_tail = None
 
-        spec_re, spec_im = matmul_backend.rfft_split(frames, n, fwd_prec)  # [S, C, K]
+        spec_re, spec_im = matmul_backend.rfft_split_cat(
+            frames, n, fwd_prec, mats=rf_cat
+        )  # [S, C, K]
         # K-major: [K, S, C]
         kre = jnp.transpose(spec_re, (2, 0, 1)).astype(hist_dtype)
         kim = jnp.transpose(spec_im, (2, 0, 1)).astype(hist_dtype)
@@ -277,9 +281,9 @@ def process_chunked(
             new_hists.append(hwin)
 
         # back to [S, C, K] for the inverse transform
-        y = matmul_backend.irfft_split(
+        y = matmul_backend.irfft_split_cat(
             jnp.transpose(acc_re, (1, 2, 0)), jnp.transpose(acc_im, (1, 2, 0)), n,
-            inv_prec,
+            inv_prec, mats=irf_cat,
         )  # [S, C, 2B]
 
         if config.scheme == "upols":

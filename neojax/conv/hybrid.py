@@ -164,11 +164,16 @@ def process_hybrid(
         tail_re = params["tail"]["filt_re"]
         tail_im = params["tail"]["filt_im"]
         p2t, _, tail_shared = nested_lib._static_dims(params["tail"])
+        # hoisted out of the scan (in-trace generation is not loop-hoisted)
+        meta_mf, meta_mi_tail = nested_lib._meta_gemm_mats(s)
+
+    rf_cat = matmul_backend.rfft_cat_matrices(n)
+    irf_cat = matmul_backend.irfft_cat_matrices(n)
 
     def block_step(carry, block):
         btail, hfdl, hpos, tail_frames, r = carry
         frame = jnp.concatenate([btail, block], axis=-1)  # [C, 2B] (upols)
-        sre, sim = matmul_backend.rfft_split(frame, n, fwd_prec)
+        sre, sim = matmul_backend.rfft_split_cat(frame, n, fwd_prec, mats=rf_cat)
 
         hfdl = fdl_lib.fdl_ring_push_split(hfdl, sre, sim, hpos)
         fr = fdl_lib.rotated_filter(head_re, hpos, s)
@@ -179,7 +184,7 @@ def process_hybrid(
             acc_re = acc_re + tail_frames[0, :, :, r].reshape(c, k)
             acc_im = acc_im + tail_frames[1, :, :, r].reshape(c, k)
 
-        y = matmul_backend.irfft_split(acc_re, acc_im, n, inv_prec)
+        y = matmul_backend.irfft_split_cat(acc_re, acc_im, n, inv_prec, mats=irf_cat)
         out = y[..., b:]
         # head-only configs never read the spectra; skip the dead stores
         ys = (out, jnp.stack([sre, sim])) if has_tail else out
@@ -204,11 +209,19 @@ def process_hybrid(
         if has_tail:
             cur = jnp.moveaxis(specs, 0, -1)  # [2, C, K, S]
             prev = mstate["prev_spec"]
-            wre = jnp.concatenate([prev[0], cur[0].astype(prev.dtype)], axis=-1)
-            wim = jnp.concatenate([prev[1], cur[1].astype(prev.dtype)], axis=-1)
-            xre, xim = matmul_backend.fft_split(
-                wre.astype(jnp.float32), wim.astype(jnp.float32), 2 * s, precision=fwd_prec
-            )
+            # lane-packed [re | im] meta-FFT: one GEMM (nested._meta_gemm_mats)
+            wpk = jnp.concatenate(
+                [
+                    prev[0],
+                    cur[0].astype(prev.dtype),
+                    prev[1],
+                    cur[1].astype(prev.dtype),
+                ],
+                axis=-1,
+            ).astype(jnp.float32)
+            x = matmul_backend._matmul(wpk, meta_mf, fwd_prec)
+            xre = x[..., : 2 * s]
+            xim = x[..., 2 * s :]
 
             mfdl = mstate["meta_fdl"]
             mpos = mstate["meta_pos"]
@@ -263,13 +276,11 @@ def process_hybrid(
             acc_re = jnp.sum(xr * fr2 - xi * fi2, axis=0)  # [C, K, 2S]
             acc_im = jnp.sum(xr * fi2 + xi * fr2, axis=0)
 
-            yre, yim = matmul_backend.fft_split(
-                acc_re, acc_im, 2 * s, inverse=True, precision=fwd_prec
-            )
-            scale2 = 1.0 / (2 * s)
+            accp = jnp.concatenate([acc_re, acc_im], axis=-1)
+            yt = matmul_backend._matmul(accp, meta_mi_tail, fwd_prec)
             new_tail_frames = jnp.stack(
-                [yre[..., s:] * scale2, yim[..., s:] * scale2]
-            )  # [2, C, K, S]
+                [yt[..., :s], yt[..., s:]]
+            )  # [2, C, K, S] (1/2S folded into the matrix)
 
             new_mstate = {
                 "meta_fdl": mfdl,

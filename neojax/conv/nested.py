@@ -185,6 +185,43 @@ def _use_nested_kernel(config: PartitionedConfig) -> bool:
     return _INTERPRET or jax.default_backend() == "tpu"
 
 
+def _meta_gemm_mats(s: int):
+    """Single-GEMM split-complex meta transforms (r4).
+
+    The meta C2C transform used to run as FOUR [.., 2S] @ [2S, 2S]
+    matmuls (re/im x cos/sin); at 2S = 256 those shapes reach only
+    ~47 TFLOP/s on a v5e MXU (r3 trace, docs/design.md 5b-ii). Packing
+    operands [re | im] along lanes turns it into ONE [.., 4S] @ [4S, 4S]
+    GEMM — identical flops, 512-deep contraction, much better MXU shape.
+    The inverse additionally keeps only the OLS tail columns (frames
+    s..2s-1 of each plane): [4S, 2S], HALF the inverse flops, with the
+    1/2S normalization folded in.
+
+    Returns (mf [4S, 4S], mi_tail [4S, 2S]):
+      [re | im] @ mf      = [Xre | Xim]           (forward, unnormalized)
+      [Are | Aim] @ mi_tail = [yre_tail | yim_tail] (inverse, normalized)
+    """
+    s2 = 2 * s
+    c2, sn = matmul_backend.fft_matrices(s2)
+    mf = jnp.concatenate(
+        [
+            jnp.concatenate([c2, -sn], axis=0),  # -> out_re
+            jnp.concatenate([sn, c2], axis=0),  # -> out_im
+        ],
+        axis=1,
+    )
+    c2t = c2[:, s:] * (1.0 / s2)
+    snt = sn[:, s:] * (1.0 / s2)
+    mi_tail = jnp.concatenate(
+        [
+            jnp.concatenate([c2t, snt], axis=0),  # -> yre tail
+            jnp.concatenate([-snt, c2t], axis=0),  # -> yim tail
+        ],
+        axis=1,
+    )
+    return mf, mi_tail
+
+
 def _static_dims(params: dict) -> tuple[int, int, bool]:
     """(p2, s, shared) from the filter's static shapes (jit-safe: no int
     leaves in the params pytree — those would trace under jit)."""
@@ -260,6 +297,11 @@ def process_nested(
 
     filt_re = params["filt_re"]
     filt_im = params["filt_im"]
+    # Built OUTSIDE the scan: in-trace matrix generation is NOT hoisted
+    # out of loop bodies by XLA (see matmul_backend._LITERAL_MAX_BYTES).
+    meta_mf, meta_mi_tail = _meta_gemm_mats(s)
+    rf_cat = matmul_backend.rfft_cat_matrices(n)
+    irf_cat = matmul_backend.irfft_cat_matrices(n)
 
     def chunk_step(carry, chunk):  # chunk [S, C, B]
         if quant:
@@ -276,18 +318,22 @@ def process_nested(
             frames = jnp.pad(chunk, ((0, 0), (0, 0), (0, n - b)))
             new_tail = None
 
-        sre, sim = matmul_backend.rfft_split(
-            frames.astype(lane_dt), n, fwd_prec
+        sre, sim = matmul_backend.rfft_split_cat(
+            frames.astype(lane_dt), n, fwd_prec, mats=rf_cat
         )  # [S, C, K]
         cur = jnp.stack(
             [jnp.moveaxis(sre, 0, -1), jnp.moveaxis(sim, 0, -1)]
         ).astype(prev_dtype)  # [2, C, K, S]
 
-        # meta OLS window (2S frames) + C2C meta-FFT along the frame axis
+        # meta OLS window (2S frames) + C2C meta-FFT along the frame axis,
+        # lane-packed [re | im] through ONE GEMM (see _meta_gemm_mats)
         wdt = lane_dt if config.storage == "bf16" else jnp.float32
-        wre = jnp.concatenate([prev[0], cur[0]], axis=-1).astype(wdt)
-        wim = jnp.concatenate([prev[1], cur[1]], axis=-1).astype(wdt)
-        xre, xim = matmul_backend.fft_split(wre, wim, 2 * s, precision=meta_prec)
+        wpk = jnp.concatenate(
+            [prev[0], cur[0], prev[1], cur[1]], axis=-1
+        ).astype(wdt)  # [C, K, 4S]
+        x = matmul_backend._matmul(wpk, meta_mf, meta_prec)
+        xre = x[..., : 2 * s]
+        xim = x[..., 2 * s :]
 
         # ring insert + rotated meta-filter, exactly the fdl_index schedule
         z = jnp.zeros((), pos.dtype)
@@ -363,16 +409,15 @@ def process_nested(
             acc_re = jnp.sum(xr * fr - xi * fi, axis=0)  # [C, K, 2S]
             acc_im = jnp.sum(xr * fi + xi * fr, axis=0)
 
-        # inverse meta-FFT (unnormalized fwd-with-swapped-sign + 1/2S)
-        yre, yim = matmul_backend.fft_split(
-            acc_re.astype(lane_dt), acc_im.astype(lane_dt), 2 * s,
-            inverse=True, precision=meta_prec,
-        )
-        yre = (yre[..., s:] * (1.0 / (2 * s))).astype(lane_dt)  # last S frames
-        yim = (yim[..., s:] * (1.0 / (2 * s))).astype(lane_dt)
+        # inverse meta-FFT: one packed GEMM, tail columns only, 1/2S folded
+        accp = jnp.concatenate([acc_re, acc_im], axis=-1).astype(lane_dt)
+        yt = matmul_backend._matmul(accp, meta_mi_tail, meta_prec)  # [C,K,2S]
+        yre = yt[..., :s].astype(lane_dt)  # last S frames of the re plane
+        yim = yt[..., s:].astype(lane_dt)
 
-        y = matmul_backend.irfft_split(
-            jnp.moveaxis(yre, -1, 0), jnp.moveaxis(yim, -1, 0), n, inv_prec
+        y = matmul_backend.irfft_split_cat(
+            jnp.moveaxis(yre, -1, 0), jnp.moveaxis(yim, -1, 0), n, inv_prec,
+            mats=irf_cat,
         )  # [S, C, 2B]
 
         if config.scheme == "upols":

