@@ -10,7 +10,9 @@ from neojax.dist.sharded_chunked import (
     shard_chunked_state,
     shard_nested_state,
     sharded_process_chunked,
+    sharded_process_hybrid,
     sharded_process_nested,
+    shard_hybrid_state,
 )
 
 __all__ = [
@@ -25,6 +27,8 @@ __all__ = [
     "BinShardedConvolver",
     "shard_nested_state",
     "sharded_process_nested",
+    "shard_hybrid_state",
+    "sharded_process_hybrid",
     "shard_chunked_state",
     "StreamDriver",
     "init_distributed",

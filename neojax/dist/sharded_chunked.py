@@ -24,6 +24,8 @@ __all__ = [
     "sharded_process_chunked",
     "shard_nested_state",
     "sharded_process_nested",
+    "shard_hybrid_state",
+    "sharded_process_hybrid",
 ]
 
 
@@ -103,3 +105,59 @@ def sharded_process_nested(
     params = {k: jax.device_put(v, fspec) for k, v in params.items()}
     state = shard_nested_state(state, mesh)
     return _process_nested(config, params, state, signal)
+
+
+def shard_hybrid_state(state: dict, mesh: Mesh) -> dict:
+    """Channel axes: btail [C,B] dim 0; head_fdl [2,S,C,K] dim 2;
+    meta_fdl [2,P2,C,K,2S] dim 2; prev_spec/tail_frames [2,C,K,S] dim 1;
+    meta_scales [P2,C,K,G] dim 1."""
+    spec_of = {
+        "btail": ("ch", None),
+        "head_fdl": (None, None, "ch", None),
+        "meta_fdl": (None, None, "ch", None, None),
+        "prev_spec": (None, "ch", None, None),
+        "tail_frames": (None, "ch", None, None),
+        "meta_scales": (None, "ch", None, None),
+    }
+    return {
+        k: jax.device_put(v, _named(mesh, *spec_of.get(k, ())))
+        for k, v in state.items()
+    }
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _process_hybrid(config, params, state, signal):
+    from neojax.conv import hybrid
+
+    return hybrid.process_hybrid(config, params, state, signal)
+
+
+def sharded_process_hybrid(
+    config: PartitionedConfig,
+    params: dict,
+    state: dict,
+    signal,
+    mesh: Mesh,
+):
+    """Channel-sharded ``process_hybrid`` — the real-time (single-block
+    latency) engine over the data-parallel mesh axis. Shared filters
+    replicate; per-channel filters shard their channel axis so head and
+    tail filter reads stay shard-local."""
+    signal = jax.device_put(
+        jnp.asarray(signal, jnp.float32), _named(mesh, "ch", None)
+    )
+    per_channel = params["head_re"].shape[1] > 1
+    head_spec = _named(mesh, None, "ch", None) if per_channel else _named(mesh)
+    tail_spec = (
+        _named(mesh, None, "ch", None, None) if per_channel else _named(mesh)
+    )
+    new_params = {
+        "head_re": jax.device_put(params["head_re"], head_spec),
+        "head_im": jax.device_put(params["head_im"], head_spec),
+    }
+    if "tail" in params:
+        new_params["tail"] = {
+            k: jax.device_put(v, tail_spec) for k, v in params["tail"].items()
+        }
+    state = shard_hybrid_state(state, mesh)
+    return _process_hybrid(config, new_params, state, signal)

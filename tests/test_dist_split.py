@@ -105,3 +105,30 @@ def test_sharded_nested_matches_single_device(make_noise):
     nstate2 = nested.nested_init_state(cfg, nparams)
     _, out = sharded_process_nested(cfg, nparams, nstate2, sig, mesh)
     assert np.max(np.abs(np.asarray(out) - np.asarray(ref))) < 1e-5  # reference parity bound; GEMM tiling differs across shard counts
+
+
+def test_sharded_hybrid_matches_single_device(make_noise):
+    """Channel-sharded hybrid (single-block-latency engine) equals the
+    single-device run — per-channel filters shard their channel axis."""
+    import jax.numpy as jnp
+
+    from neojax.conv import hybrid
+    from neojax.dist.sharded_chunked import sharded_process_hybrid
+    from neojax import conv, dist
+
+    b = 64
+    p = 16
+    channels = 8
+    ir = make_noise(channels, p * b) * 0.2
+    sig = make_noise(channels, 8 * b)
+    parts = conv.uniform_partition(ir, b)
+
+    cfg = conv.PartitionedConfig(b, p, channels=channels, storage="split")
+    hparams = hybrid.hybrid_filter_params(cfg, parts, 4)
+    hstate = hybrid.hybrid_init_state(cfg, hparams)
+    _, ref = hybrid.process_hybrid(cfg, hparams, hstate, jnp.asarray(sig))
+
+    mesh = dist.make_mesh(ch=4)
+    hstate2 = hybrid.hybrid_init_state(cfg, hparams)
+    _, out = sharded_process_hybrid(cfg, hparams, hstate2, sig, mesh)
+    assert np.max(np.abs(np.asarray(out) - np.asarray(ref))) < 1e-5
