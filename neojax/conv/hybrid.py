@@ -82,6 +82,22 @@ def hybrid_filter_params(
     hi = np.imag(head).astype(np.float32)
     params["head_re"] = jnp.asarray(np.concatenate([hr[::-1], hr[::-1]], axis=0))
     params["head_im"] = jnp.asarray(np.concatenate([hi[::-1], hi[::-1]], axis=0))
+    if config.storage in ("split", "int16", "int8") and config.block_size % 2 == 0:
+        # Packed-layout head params for the FUSED whole-stream kernel
+        # (the TPU fast path, r4; see _use_fused_head for the storage
+        # gate): filt planes / dcny side filter / pre-shifted rim copies,
+        # via the convolver's own builder.
+        import dataclasses as _dc
+
+        from neojax.conv import convolver as _cv
+
+        head_cfg = _dc.replace(
+            config, num_partitions=s, layout="ring", mac_backend="pallas",
+            packed=True, fused=True,
+        )
+        params["head_packed"] = _cv.filter_params(
+            head_cfg, np.moveaxis(head, 1, 0)
+        )
 
     if p > s:
         tail = np.moveaxis(filt[s:], 0, 1)  # back to [C', P-S, K]
@@ -102,15 +118,42 @@ def _head_storage_init(config, s):
                             s, config.channels, config.num_bins)
 
 
+def _use_fused_head(config: PartitionedConfig) -> bool:
+    """The head runs through the fused whole-stream Pallas kernel on TPU
+    (or in interpreter mode for tests): DFT matrices are fetched once per
+    CHUNK instead of re-read every block, and the per-block XLA glue
+    around the small head MAC disappears.
+
+    Measured same-process A/B at the headline config (S=64, v5e):
+    split 370->482 M samples/s, int16 557->734, int8 720->839 — but bf16
+    873->739: the kernel's ~40 us/block fixed cost (window DMA waits,
+    8-shift filter DMAs, semaphores) exceeds what bf16's small 8 MB ring
+    saves, so bf16 keeps the XLA head."""
+    import jax as _jax
+
+    from neojax.kernels import fused_step as _fs
+
+    return (
+        config.storage in ("split", "int16", "int8")
+        and config.block_size % 2 == 0
+        and (_fs._INTERPRET or _jax.default_backend() == "tpu")
+    )
+
+
 def hybrid_init_state(config: PartitionedConfig, params: dict) -> dict:
     c = config.channels
     k = config.num_bins
     s = params["head_re"].shape[0] // 2
     state = {
         "btail": jnp.zeros((c, config.block_size), jnp.float32),
-        "head_fdl": _head_storage_init(config, s),
         "head_pos": jnp.zeros((), jnp.int32),
     }
+    if _use_fused_head(config) and "head_packed" in params:
+        state["head_fdl"], state["head_dcny"] = fdl_lib.fdl_packed_init(
+            config.storage, s, c, config.block_size
+        )
+    else:
+        state["head_fdl"] = _head_storage_init(config, s)
     if "tail" in params:
         # only the meta ring (+ pos/scales) of the nested engine is needed:
         # the block-tail / prev-spectra bookkeeping is owned by the head.
@@ -170,6 +213,103 @@ def process_hybrid(
     rf_cat = matmul_backend.rfft_cat_matrices(n)
     irf_cat = matmul_backend.irfft_cat_matrices(n)
 
+    fused_head = _use_fused_head(config) and "head_packed" in params \
+        and "head_dcny" in state
+    if fused_head:
+        import dataclasses as _dc
+
+        from neojax.conv import convolver as cv_mod
+        from neojax.kernels import fused_step as _fs
+        from neojax.kernels.fused_step import fused_stream
+
+        hp = params["head_packed"]
+        head_cfg = _dc.replace(config, num_partitions=s)
+        shared_h = "filt_rim8" in hp
+        rim_h = hp["filt_rim8"] if shared_h else hp["filt_rim"]
+        mat_dt = (
+            jnp.bfloat16 if config.storage in ("bf16", "int8") else jnp.float32
+        )
+        cs_h = jnp.stack(matmul_backend.rfft_packed_matrices(n)).astype(mat_dt)
+        abt_h = jnp.stack(matmul_backend.irfft_packed_matrices(n)).astype(
+            mat_dt
+        )[:, :, b:]
+        cpad = -(-c // 128) * 128
+
+    def fused_head_chunk(btail, hfdl, hdcny, hpos, tail_frames, chunk):
+        """One chunk's S head blocks through ONE fused_stream call; the
+        chunk-rate tail sum rides the kernel's acc_add seed. Returns
+        (outs [S, C, B], cur [2, C, K, S], new head carry)."""
+        sig_c = jnp.moveaxis(chunk, 0, 1).reshape(c, s * b)
+        sigpad = jnp.concatenate([btail, sig_c], axis=-1)
+        dcfix_all, new_hdcny = cv_mod._dcfix_sequence(
+            head_cfg, {"filt_dcny": hp["filt_dcny"]}, hdcny, hpos, sigpad
+        )
+        if has_tail:
+            tf = tail_frames
+            # exact DC/Nyquist of the tail frames join the lane-0 fixup
+            add_dc = jnp.stack(
+                [tf[0, :, 0, :].T, tf[0, :, k - 1, :].T], axis=1
+            )  # [S, 2, C]
+            dcfix_all = dcfix_all + add_dc
+            accadd = jnp.moveaxis(tf[:, :, :b, :], -1, 0)  # [S, 2, C, B]
+        else:
+            accadd = None
+
+        if isinstance(hfdl, tuple):
+            planes, scl3 = hfdl
+            sclp = jnp.pad(
+                scl3[:, :, 0], ((0, 0), (0, cpad - c)), constant_values=1.0
+            )
+            out_c, new_planes, new_sclp = fused_stream(
+                sigpad, planes, rim_h, hpos, dcfix_all, cs_h, abt_h, sclp,
+                None, accadd, shared_filter=shared_h, interpret=_fs._INTERPRET,
+            )
+            new_hfdl = (new_planes, new_sclp[:, :c, None])
+            scl_cur = new_sclp[:, :c]
+        else:
+            out_c, new_planes = fused_stream(
+                sigpad, hfdl, rim_h, hpos, dcfix_all, cs_h, abt_h, None,
+                None, accadd, shared_filter=shared_h, interpret=_fs._INTERPRET,
+            )
+            new_hfdl = new_planes
+            scl_cur = None
+
+        cur = None
+        if has_tail:
+            # Reconstruct this chunk's S block spectra from the head ring
+            # (depth S: after S inserts it holds exactly this chunk), with
+            # the exact f32 DC/Nyquist from the side-carry.
+            order = jnp.mod(hpos + jnp.arange(s), s)
+            pr = jnp.take(new_planes, order, axis=1)  # [2, S, C, B]
+            if scl_cur is not None:
+                m = int_max_for(new_planes.dtype)
+                sc = jnp.take(scl_cur, order, axis=0)  # [S, C]
+                prf = pr.astype(jnp.float32) * (sc * (1.0 / m))[None, :, :, None]
+            else:
+                prf = pr.astype(jnp.float32)
+            dc_ny = jnp.take(new_hdcny, order, axis=0)  # [S, C, 2]
+            re_full = jnp.concatenate(
+                [
+                    prf[0].at[..., 0].set(dc_ny[..., 0]),
+                    dc_ny[..., 1][..., None],
+                ],
+                axis=-1,
+            )  # [S, C, K]
+            im_full = jnp.concatenate(
+                [
+                    prf[1].at[..., 0].set(0.0),
+                    jnp.zeros((s, c, 1), jnp.float32),
+                ],
+                axis=-1,
+            )
+            cur = jnp.stack(
+                [jnp.moveaxis(re_full, 0, -1), jnp.moveaxis(im_full, 0, -1)]
+            )  # [2, C, K, S]
+
+        outs = jnp.moveaxis(out_c.reshape(c, s, b), 1, 0)  # [S, C, B]
+        new_btail = sig_c[:, -b:]
+        return outs, cur, (new_btail, new_hfdl, new_hdcny, hpos)
+
     def block_step(carry, block):
         btail, hfdl, hpos, tail_frames, r = carry
         frame = jnp.concatenate([btail, block], axis=-1)  # [C, 2B] (upols)
@@ -191,23 +331,31 @@ def process_hybrid(
         return (block, hfdl, (hpos + 1) % s, tail_frames, r + 1), ys
 
     def chunk_step(carry, chunk):  # chunk [S, C, B]
-        btail, hfdl, hpos, mstate = carry
+        btail, hfdl, hdcny, hpos, mstate = carry
         tail_frames = mstate["tail_frames"] if has_tail else jnp.zeros(
             (2, c, k, 0), jnp.float32
         )
 
-        carry_in = (btail, hfdl, hpos, tail_frames, jnp.zeros((), jnp.int32))
-        if has_tail:
-            (btail, hfdl, hpos, _, _), (outs, specs) = lax.scan(
-                block_step, carry_in, chunk
+        if fused_head:
+            outs, cur, (btail, hfdl, hdcny, hpos) = fused_head_chunk(
+                btail, hfdl, hdcny, hpos, tail_frames, chunk
             )
-            # specs: [S, 2, C, K] block spectra of this chunk
         else:
-            (btail, hfdl, hpos, _, _), outs = lax.scan(block_step, carry_in, chunk)
+            carry_in = (
+                btail, hfdl, hpos, tail_frames, jnp.zeros((), jnp.int32)
+            )
+            if has_tail:
+                (btail, hfdl, hpos, _, _), (outs, specs) = lax.scan(
+                    block_step, carry_in, chunk
+                )
+                cur = jnp.moveaxis(specs, 0, -1)  # [2, C, K, S]
+            else:
+                (btail, hfdl, hpos, _, _), outs = lax.scan(
+                    block_step, carry_in, chunk
+                )
 
         new_mstate = mstate
         if has_tail:
-            cur = jnp.moveaxis(specs, 0, -1)  # [2, C, K, S]
             prev = mstate["prev_spec"]
             # lane-packed [re | im] meta-FFT: one GEMM (nested._meta_gemm_mats)
             wpk = jnp.concatenate(
@@ -291,7 +439,7 @@ def process_hybrid(
             if quant:
                 new_mstate["meta_scales"] = mscales
 
-        return (btail, hfdl, hpos, new_mstate), outs
+        return (btail, hfdl, hdcny, hpos, new_mstate), outs
 
     mstate0 = {}
     if has_tail:
@@ -304,9 +452,10 @@ def process_hybrid(
         if quant:
             mstate0["meta_scales"] = state["meta_scales"]
 
-    (btail, hfdl, hpos, mstate), outs = lax.scan(
+    hdcny0 = state.get("head_dcny", jnp.zeros((s, c, 2), jnp.float32))
+    (btail, hfdl, hdcny, hpos, mstate), outs = lax.scan(
         chunk_step,
-        (state["btail"], state["head_fdl"], state["head_pos"], mstate0),
+        (state["btail"], state["head_fdl"], hdcny0, state["head_pos"], mstate0),
         chunks,
     )
     out = (
@@ -314,6 +463,8 @@ def process_hybrid(
         .reshape(c, num_chunks * s * b)[:, :t_len]
     )
     new_state = {"btail": btail, "head_fdl": hfdl, "head_pos": hpos}
+    if "head_dcny" in state:
+        new_state["head_dcny"] = hdcny
     if has_tail:
         new_state.update(
             {

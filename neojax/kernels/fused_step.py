@@ -453,12 +453,16 @@ def _rem(a, b):
 def _mk_stream_kernel(*, nb: int, npc: int, pc: int, p: int, c: int, cf: int,
                       b: int, cpad: int, quant: bool, shared: bool,
                       inv_max: float, int_max: float, dt, n_sched: int,
-                      widths: tuple, interpret_seed: bool):
+                      widths: tuple, has_acc: bool, interpret_seed: bool):
     sparse = n_sched > 0
     n = 2 * b
 
     def kernel(pos0_ref, sig_any, fdl_any, rim_any, cs_ref, abt_ref,
                dcfix_ref, *rest):
+        if has_acc:
+            accadd_ref, *rest = rest  # (1, 2, C, B) per-step accumulator seed
+        else:
+            accadd_ref = None
         if sparse:
             crow_ref, *rest = rest  # (1, 2, L) block: rows for steps i, i+1
             ncnt_ref, *rest = rest  # (1, 1, 2) block: active counts i, i+1
@@ -628,8 +632,13 @@ def _mk_stream_kernel(*, nb: int, npc: int, pc: int, p: int, c: int, cf: int,
             )
             sclbuf[pl.ds(pos, 1)] = scale_pad[None]
 
-        # ---- MAC-reduce over (scheduled) partition chunks
-        acc_ref[...] = jnp.zeros((2, c, b), jnp.float32)
+        # ---- MAC-reduce over (scheduled) partition chunks; the optional
+        # acc_add input seeds the accumulator (the hybrid engine injects
+        # its chunk-rate tail contribution here — linearity of the sum)
+        if has_acc:
+            acc_ref[...] = accadd_ref[0]
+        else:
+            acc_ref[...] = jnp.zeros((2, c, b), jnp.float32)
 
         def body(j, carry):
             slot = _rem(j, _SLOTS)
@@ -711,7 +720,8 @@ def _mk_stream_kernel(*, nb: int, npc: int, pc: int, p: int, c: int, cf: int,
     jax.jit, static_argnames=("shared_filter", "interpret")
 )
 def fused_stream(sigpad, fdl, filt_rim, pos0, dcfix_all, cs, abt,
-                 scales=None, sched=None, *, shared_filter, interpret=False):
+                 scales=None, sched=None, acc_add=None, *, shared_filter,
+                 interpret=False):
     """Stream nb UPOLS blocks through ONE fused pallas_call (grid=(nb,)).
 
     sigpad   : [C, (nb+1)*B] f32 — [previous tail | signal]
@@ -729,6 +739,10 @@ def fused_stream(sigpad, fdl, filt_rim, pos0, dcfix_all, cs, abt,
                active-entry count per row (Mosaic can only load scalars
                from SMEM, so the count rides along precomputed); see
                ``conv.convolver._process_fused_stream``.
+    acc_add  : optional [nb, 2, C, B] f32 — per-step accumulator SEED
+               (packed lanes; lane 0 irrelevant, the dcfix overwrite wins).
+               The hybrid engine's precomputed chunk-rate tail sum enters
+               the per-block head through this (sum linearity).
 
     Returns (out [C, nb*B], new_fdl) (+ new_scales [P, cpad] if quant).
     """
@@ -754,7 +768,8 @@ def fused_stream(sigpad, fdl, filt_rim, pos0, dcfix_all, cs, abt,
         nb=nb, npc=npc, pc=pc, p=p, c=c, cf=cf, b=b, cpad=cpad,
         quant=quant, shared=shared_filter,
         inv_max=inv_max, int_max=int_max, dt=dt, n_sched=n_sched,
-        widths=widths, interpret_seed=interpret,
+        widths=widths, has_acc=acc_add is not None,
+        interpret_seed=interpret,
     )
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -775,6 +790,9 @@ def fused_stream(sigpad, fdl, filt_rim, pos0, dcfix_all, cs, abt,
         pl.BlockSpec((1, 2, c), lambda i: (i, 0, 0)),  # dcfix rows
     ]
     args = [pos_arr, sigpad, fdl, filt_rim, cs, abt, dcfix_all]
+    if acc_add is not None:
+        in_specs.append(pl.BlockSpec((1, 2, c, b), lambda i: (i, 0, 0, 0)))
+        args.append(jnp.asarray(acc_add, jnp.float32))
     if n_sched:
         # rows for steps i and i+1, PRE-PAIRED: blocks stride by their
         # shape, so overlapping (i, i+1) windows must be materialized as

@@ -1,6 +1,7 @@
 """Hybrid (two-stage) engine must match the uniform per-block schedule."""
 
 import numpy as np
+from functools import partial
 import pytest
 import jax.numpy as jnp
 
@@ -102,3 +103,47 @@ def test_hybrid_reduced_precision(make_noise, storage, tol):
     for ch in range(2):
         ref = np.convolve(np.asarray(sig)[ch], ir)[: out.shape[1]]
         assert np.max(np.abs(out[ch] - ref)) < tol
+
+
+def test_hybrid_fused_head_matches_xla_head(make_noise):
+    """r4: the fused-Pallas head path (interpret mode) equals the XLA head
+    for the storages that use it (split exact; int16/int8 within their
+    storage classes — the fused path's meta window reads ring-stored
+    spectra, the XLA path f32 ones)."""
+    import jax
+
+    from neojax.conv import hybrid as hy
+    from neojax.kernels import fused_step as fs
+
+    rng = np.random.default_rng(5)
+    b, p, c, s = 64, 32, 4, 8
+    parts = (
+        (rng.standard_normal((1, p, b + 1)) + 1j * rng.standard_normal((1, p, b + 1)))
+        * 0.1
+    ).astype(np.complex64)
+    sig = make_noise(c, 4 * s * b)
+    tol = {"split": 1e-5, "int16": 2e-3, "int8": 6e-2}
+
+    for storage in ("split", "int16", "int8"):
+        cfg = conv.PartitionedConfig(b, p, c, storage=storage)
+        params = hy.hybrid_filter_params(cfg, parts, s)
+        assert "head_packed" in params
+        params_x = {k: v for k, v in params.items() if k != "head_packed"}
+        st_x = hy.hybrid_init_state(cfg, params_x)
+        _, out_x = jax.jit(partial(hy.process_hybrid, cfg))(
+            params_x, st_x, jnp.asarray(sig)
+        )
+        fs._INTERPRET = True
+        jax.clear_caches()
+        try:
+            st_f = hy.hybrid_init_state(cfg, params)
+            assert "head_dcny" in st_f
+            _, out_f = jax.jit(partial(hy.process_hybrid, cfg))(
+                params, st_f, jnp.asarray(sig)
+            )
+        finally:
+            fs._INTERPRET = False
+            jax.clear_caches()
+        scale = float(jnp.max(jnp.abs(out_x)))
+        d = float(jnp.max(jnp.abs(out_x - out_f))) / max(scale, 1e-6)
+        assert d < tol[storage], (storage, d)
