@@ -40,7 +40,7 @@ SR = 48000
 BLOCK = 512
 CHANNELS = 64
 IR_SECONDS = 10.0
-STORAGE = "bf16"
+STORAGES = ["bf16", "split"]  # fast rung + the exact (f32) class
 THRESHOLDS = [-40.0, -50.0, -60.0, -70.0]
 NB = 1875  # ~20 s stream: the ~26 ms fetch-sync is <7% of wall time
 
@@ -93,9 +93,9 @@ def main() -> None:
     )()
     jax.block_until_ready(sig)
 
-    def run(mask):
+    def run(mask, storage):
         cfg = cv.PartitionedConfig(
-            BLOCK, p, CHANNELS, storage=STORAGE, mac_backend="pallas", fused=True
+            BLOCK, p, CHANNELS, storage=storage, mac_backend="pallas", fused=True
         )
         params = cv.filter_params(cfg, parts, sparsity=mask)
         state = cv.init_state(cfg)
@@ -123,44 +123,48 @@ def main() -> None:
         )
         return np.fft.rfft(frames, n=tsz, axis=-1)
 
-    dense_sps, dense_dt, dense_head = run(None)
-    dense_spec = spectro(dense_head)
-    print(
-        f"# dense/{STORAGE}: {dense_sps/1e6:.1f} M samples/s "
-        f"({dense_dt/NB*1e6:.1f} us/block)",
-        file=sys.stderr,
-    )
-
-    points = []
-    for thr in THRESHOLDS:
-        mask = perceptual_mask(parts[0], SR, thr)  # [P, K] bin-structured
-        density = float(mask.mean())
-        sps, dt, head = run(mask)
-        rmse = max_channel_rms_error(dense_spec, spectro(head))
-        rmse_db = 20.0 * np.log10(rmse) if rmse > 0 else -200.0
-        pt = {
-            "threshold_db": thr,
-            "density": round(density, 4),
-            "samples_per_sec": round(sps, 1),
-            "us_per_block": round(dt / NB * 1e6, 1),
-            "speedup_vs_dense": round(sps / dense_sps, 2),
-            "spectrogram_rmse": float(rmse),
-            "spectrogram_rmse_db": round(float(rmse_db), 1),
-        }
-        points.append(pt)
+    by_storage = {}
+    for storage in STORAGES:
+        dense_sps, dense_dt, dense_head = run(None, storage)
+        dense_spec = spectro(dense_head)
         print(
-            f"# thr {thr:.0f} dB: density {density:.3f}, "
-            f"{sps/1e6:.1f} M samples/s ({pt['speedup_vs_dense']}x dense), "
-            f"rmse {rmse_db:.1f} dB",
+            f"# dense/{storage}: {dense_sps/1e6:.1f} M samples/s "
+            f"({dense_dt/NB*1e6:.1f} us/block)",
             file=sys.stderr,
         )
 
+        points = []
+        for thr in THRESHOLDS:
+            mask = perceptual_mask(parts[0], SR, thr)  # [P, K] bin-structured
+            density = float(mask.mean())
+            sps, dt, head = run(mask, storage)
+            rmse = max_channel_rms_error(dense_spec, spectro(head))
+            rmse_db = 20.0 * np.log10(rmse) if rmse > 0 else -200.0
+            pt = {
+                "threshold_db": thr,
+                "density": round(density, 4),
+                "samples_per_sec": round(sps, 1),
+                "us_per_block": round(dt / NB * 1e6, 1),
+                "speedup_vs_dense": round(sps / dense_sps, 2),
+                "spectrogram_rmse": float(rmse),
+                "spectrogram_rmse_db": round(float(rmse_db), 1),
+            }
+            points.append(pt)
+            print(
+                f"# {storage} thr {thr:.0f} dB: density {density:.3f}, "
+                f"{sps/1e6:.1f} M samples/s ({pt['speedup_vs_dense']}x dense), "
+                f"rmse {rmse_db:.1f} dB",
+                file=sys.stderr,
+            )
+        by_storage[storage] = {
+            "dense_samples_per_sec": round(dense_sps, 1),
+            "dense_us_per_block": round(dense_dt / NB * 1e6, 1),
+            "points": points,
+        }
+
     out = {
         "metric": "perceptual_sparsity_sweep_64ch_10s_room_ir_block512",
-        "storage": STORAGE,
-        "dense_samples_per_sec": round(dense_sps, 1),
-        "dense_us_per_block": round(dense_dt / NB * 1e6, 1),
-        "points": points,
+        "storages": by_storage,
     }
     print(json.dumps(out))
     with open("PERCEPTUAL_SWEEP.json", "w") as f:
