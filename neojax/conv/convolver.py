@@ -508,7 +508,7 @@ def _split_mac(config: PartitionedConfig, params: dict, new_fdl, pos):
     """The split-plane partition MAC-reduce of one block step: rotated
     filter slice + Pallas (or XLA) complex MAC with fused dequant, incl.
     the tile-sparse schedule. Shared by ``step`` and the batched large-N
-    stream (``_process_fourstep_stream``). Returns (acc_re, acc_im)."""
+    stream paths. Returns (acc_re, acc_im)."""
     ring = config.layout == "ring"
     p = config.num_partitions
     if ring:

@@ -241,8 +241,11 @@ def _irfft_packed_mats_np(n: int):
 
 
 def packed_mats_np(n: int):
-    """Stacked packed-DFT matrices for the fused block-step kernel:
-    (cs [2, N, B] forward cos|sin, ab [2, B, N] inverse with 1/N)."""
+    """Stacked packed-DFT matrices as host numpy: (cs [2, N, B] forward
+    cos|sin, ab [2, B, N] inverse with 1/N). Test/oracle convenience —
+    the convolver paths build these via the TRACED generators instead
+    (rfft_packed_matrices / irfft_packed_matrices), which avoid embedding
+    large HLO literals."""
     c, s = _rfft_packed_mats_np(n)
     a, b = _irfft_packed_mats_np(n)
     return np.stack([c, s]), np.stack([a, b])
