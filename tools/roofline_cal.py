@@ -176,7 +176,11 @@ def main() -> None:
             f"mac_kernel/{storage}",
         )
 
-    # ---- the full fused streaming engine (production path), bf16 + int8
+    # ---- the full fused streaming engine (production path), bf16 + int8.
+    # The P=32 row measures the kernel's FIXED per-step cost (ring is only
+    # ~4 MB: transforms + window/insert DMA + loop overhead dominate) —
+    # the floor that bounds sparse/perceptual/hybrid-head speedups
+    # (SPARSE_SWEEP's linear-fit intercept, measured here directly).
     from functools import partial as _partial
 
     import bench as bench_mod
@@ -188,12 +192,14 @@ def main() -> None:
         )
     )()
     jax.block_until_ready(sig)
-    for storage in ("bf16", "int8", "split"):
+    for storage, p_row in (
+        ("bf16", P), ("int8", P), ("split", P), ("split", 32), ("bf16", 32)
+    ):
         cfg = cv.PartitionedConfig(
-            BLOCK, P, CHANNELS, storage=storage, mac_backend="pallas",
+            BLOCK, p_row, CHANNELS, storage=storage, mac_backend="pallas",
             fused=True,
         )
-        parts = bench_mod._make_parts(P, cfg.num_bins)
+        parts = bench_mod._make_parts(p_row, cfg.num_bins)
         params = cv.filter_params(cfg, parts)
         state = cv.init_state(cfg)
         proc = jax.jit(_partial(cv.process, cfg), donate_argnums=(1,))
@@ -207,9 +213,14 @@ def main() -> None:
             ts.append(time.perf_counter() - t0)
         nb = 1875
         dtb = min(ts) / nb
-        bpb = bench_mod._perblock_bytes(cfg, P, fused=True)
-        record(f"fused_stream/{storage}", dtb, bpb)
-        results[f"fused_stream/{storage}"]["samples_per_sec"] = round(
+        bpb = bench_mod._perblock_bytes(cfg, p_row, fused=True)
+        key = (
+            f"fused_stream/{storage}"
+            if p_row == P
+            else f"fused_stream_floor/{storage}/P{p_row}"
+        )
+        record(key, dtb, bpb)
+        results[key]["samples_per_sec"] = round(
             CHANNELS * nb * BLOCK / min(ts), 1
         )
 
