@@ -816,6 +816,8 @@ class Convolver:
         scheme: str = "upols",
         storage: str | None = None,
         fft_backend: str | None = None,
+        sparsity: Any = None,
+        require_sparsity: bool = False,
     ):
         if storage is None:
             # complex64 is a host/CPU convenience; on TPU the split
@@ -824,6 +826,15 @@ class Convolver:
         self._scheme = scheme
         self._storage = storage
         self._fft_backend = fft_backend
+        # Sparse-convolver semantics (``sparse_convolver.hpp:16-21``): the
+        # reference's sparse aliases compose a ``sparse_filter`` whose
+        # ``filter(partitions, predicate)`` REQUIRES a sparsity predicate;
+        # the dense aliases have no such slot. ``sparsity`` here is the
+        # construction-time default predicate/mask, ``require_sparsity``
+        # makes ``filter()`` reject a missing one instead of silently
+        # running dense.
+        self._default_sparsity = sparsity
+        self._require_sparsity = require_sparsity
         self.config: PartitionedConfig | None = None
         self.params: dict | None = None
         self.state: dict | None = None
@@ -842,6 +853,15 @@ class Convolver:
         padded to 32 would pay 16x the needed MAC traffic); pass
         ``pad_partitions=P`` to disable padding entirely.
         """
+        if sparsity is None:
+            sparsity = self._default_sparsity
+        if sparsity is None and self._require_sparsity:
+            raise ValueError(
+                "this is a sparse convolver (sparse_upols/upola_convolver, "
+                "sparse_convolver.hpp:16-21): pass a sparsity predicate "
+                "(row, col, value) -> bool or a boolean keep-mask, either "
+                "to filter(partitions, sparsity=...) or at construction"
+            )
         partitions = np.asarray(partitions)
         if partitions.ndim == 2:
             partitions = partitions[None]
@@ -1021,9 +1041,18 @@ def split_upola_convolver() -> Convolver:
     return Convolver("upola", "split")
 
 
-def sparse_upols_convolver() -> Convolver:
-    return Convolver("upols")
+def sparse_upols_convolver(sparsity: Any = None) -> Convolver:
+    """UPOLS over a sparse (predicate-thinned) filter. Unlike the dense
+    aliases this composes the reference's ``sparse_filter`` contract
+    (``sparse_convolver.hpp:16``, ``sparse_filter.hpp:25-38``): a sparsity
+    predicate ``(row, col, value) -> bool`` (or boolean keep-mask) must be
+    supplied — here at construction, or later to ``filter(..., sparsity=)``.
+    Dropped bins are excluded from the MAC (zeroed dense planes for XLA,
+    tile-skipped in the Pallas sparse kernel)."""
+    return Convolver("upols", sparsity=sparsity, require_sparsity=True)
 
 
-def sparse_upola_convolver() -> Convolver:
-    return Convolver("upola")
+def sparse_upola_convolver(sparsity: Any = None) -> Convolver:
+    """UPOLA twin of :func:`sparse_upols_convolver` (same sparse-filter
+    contract, ``sparse_convolver.hpp:21``)."""
+    return Convolver("upola", sparsity=sparsity, require_sparsity=True)

@@ -256,6 +256,41 @@ def test_sparse_mask_predicate(make_noise):
     assert np.array_equal(np.asarray(c_dense.process(sig)), np.asarray(c_sparse.process(sig)))
 
 
+def test_sparse_alias_requires_sparsity(make_noise):
+    """The sparse aliases compose the reference's sparse_filter contract
+    (``sparse_convolver.hpp:16-21``): a predicate is mandatory, masked
+    bins are genuinely excluded from the filter spectra, and the output
+    matches a dense convolver over the explicitly thinned filter."""
+    b = 64
+    ir = make_noise(3 * b)
+    parts = conv.uniform_partition(ir, b)
+
+    with pytest.raises(ValueError, match="sparsity"):
+        conv.sparse_upols_convolver().filter(parts)
+
+    # construction-time predicate slot: keep even bins only
+    pred = lambda row, col, value: (col % 2) == 0
+    c_sparse = conv.sparse_upola_convolver(sparsity=pred)
+    c_sparse.filter(parts)
+
+    # masked bins are actually skipped: the installed filter spectra are
+    # zero there...
+    filt = np.asarray(c_sparse.params["filt"])  # [P(padded), C', K]
+    assert np.all(filt[:, :, 1::2] == 0)
+    assert np.any(filt[:, :, ::2] != 0)
+
+    # ...and the output equals a dense convolver over the thinned filter
+    thinned = np.asarray(parts).copy()
+    thinned[..., 1::2] = 0
+    c_ref = conv.upola_convolver()
+    c_ref.filter(thinned)
+    sig = make_noise(1, 4 * b)
+    np.testing.assert_allclose(
+        np.asarray(c_sparse.process(sig)), np.asarray(c_ref.process(sig)),
+        atol=1e-6,
+    )
+
+
 def test_perceptual_mask_density_decreases_with_threshold(make_noise):
     b = 256
     ir = (make_noise(8 * b) * np.exp(-np.arange(8 * b) / b)).astype(np.float32)

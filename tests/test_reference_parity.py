@@ -148,6 +148,63 @@ def test_streaming_split_storage_matches_reference(scheme):
     assert np.abs(out - golden).max() < 1e-5
 
 
+@pytest.mark.parametrize("scheme", ["upols", "upola"])
+def test_split_convolver_matches_split_reference(scheme):
+    """split storage vs the reference's ACTUAL split-complex convolvers
+    (``dense_convolver.hpp:32-39``: dense_split_fdl + dense_split_filter),
+    not just the interleaved dense golden."""
+    sig = _load("in_sig.npy")
+    golden = _load(f"ref_split_{scheme}_b128.npy")
+    out = _stream_ours(scheme, "split", sig)
+    assert np.abs(out - golden).max() < 1e-5
+
+
+def test_sparse_convolver_matches_reference():
+    """sparse_upols_convolver with the same index predicate as the C++
+    run (``sparse_convolver.hpp:16``, CSR built via ``csr_matrix.hpp:67-98``
+    with keep iff col % 3 != 0)."""
+    sig = _load("in_sig.npy")
+    ir = _load("in_ir.npy")
+    golden = _load("ref_sparse_upols_b128.npy")
+    parts = conv.uniform_partition(ir, 128)
+    c = conv.sparse_upols_convolver(
+        sparsity=lambda row, col, value: (col % 3) != 0
+    )
+    c._storage = "dense"
+    c.filter(parts)
+    out = np.asarray(c.process(sig.astype(np.float32)))
+    assert np.abs(out - golden).max() < 1e-5
+
+
+@pytest.mark.parametrize("kind", ["ols", "ola"])
+def test_overlap_processor_matches_reference(kind):
+    """Raw OLS/OLA block processors (``overlap_save.hpp:85-112``,
+    ``overlap_add.hpp:78-108``) with a bin-multiply callback: block 64,
+    filter 33, transform 128."""
+    import jax.numpy as jnp
+
+    from neojax.conv.overlap import OverlapAdd, OverlapSave
+
+    x = _load("in_rnoise_1024.npy")
+    flt = _load("in_b33.npy")
+    golden = _load(f"ref_{kind}_b64_f33.npy")
+
+    proc = (OverlapSave if kind == "ols" else OverlapAdd)(
+        block_size=64, filter_size=33
+    )
+    n = proc.transform_size
+    fspec = np.fft.rfft(np.pad(flt, (0, n - 33)))
+    spectrum_fn = lambda s: s * jnp.asarray(fspec.astype(np.complex64))[None]
+
+    state = proc.init_state(channels=1)
+    out = np.zeros_like(x)
+    for off in range(0, 1024, 64):
+        block = jnp.asarray(x[None, off : off + 64])
+        state, y = proc.step(state, block, spectrum_fn)
+        out[off : off + 64] = np.asarray(y)[0]
+    assert np.abs(out - golden).max() < 1e-5
+
+
 @pytest.mark.parametrize(
     "storage,tol_ref,tol_exact",
     [("int8", 5e-3, 5e-3), ("int16", 2e-4, 1e-4)],

@@ -144,6 +144,63 @@ static std::vector<float> stream(const npy::Array& sig, const npy::Array& ir,
     return out;
 }
 
+// Raw OLS/OLA block processors (overlap_save.hpp:85-112,
+// overlap_add.hpp:78-108) with a bin-multiply callback: single-partition
+// FFT filtering of in_rnoise_1024 by in_b33 at block 64
+// (transform = bit_ceil(64+33-1) = 128).
+template <typename Overlap>
+static std::vector<float> stream_overlap(const npy::Array& sig, const npy::Array& flt,
+                                         std::size_t block, std::size_t filter_len) {
+    auto processor = Overlap{block, filter_len};
+    const auto n = processor.transform_size();
+    std::vector<std::complex<float>> fspec(n / 2 + 1);
+    {
+        std::vector<float> padded(n, 0.0F);
+        for (std::size_t i = 0; i < filter_len; ++i) padded[i] = flt.f32()[i];
+        auto plan = fft::fallback_rfft_plan<float>{fft::from_order, fft::next_order(n)};
+        plan(as_vec_mdspan(padded), as_vec_mdspan(fspec));
+    }
+    const std::size_t total = sig.shape[0];
+    std::vector<float> out(total);
+    for (std::size_t off = 0; off + block <= total; off += block) {
+        std::vector<float> blk(sig.f32() + off, sig.f32() + off + block);
+        processor(as_vec_mdspan(blk), [&](auto spectrum) {
+            for (std::size_t i = 0; i < fspec.size(); ++i)
+                spectrum[i] = spectrum[i] * fspec[i];
+        });
+        for (std::size_t i = 0; i < block; ++i) out[off + i] = blk[i];
+    }
+    return out;
+}
+
+// Sparse-filter variant of stream(): forwards the sparsity predicate to
+// sparse_filter::filter (sparse_convolver.hpp:16, csr_matrix.hpp:67-98).
+template <typename Convolver, typename Predicate>
+static std::vector<float> stream_sparse(const npy::Array& sig, const npy::Array& ir,
+                                        std::size_t block, Predicate pred) {
+    auto irv = Kokkos::mdspan<const float, Kokkos::dextents<std::size_t, 2>>{
+        ir.f32(), ir.shape[0], ir.shape[1]};
+    auto parts = conv::uniform_partition(irv, block);
+
+    const std::size_t channels = sig.shape[0];
+    const std::size_t total = sig.shape[1];
+    std::vector<float> out(channels * total);
+    for (std::size_t ch = 0; ch < channels; ++ch) {
+        auto convolver = Convolver{};
+        auto filter = Kokkos::submdspan(parts.to_mdspan(), ch, Kokkos::full_extent,
+                                        Kokkos::full_extent);
+        convolver.filter(filter, pred);
+        for (std::size_t off = 0; off + block <= total; off += block) {
+            std::vector<float> blk(block);
+            for (std::size_t i = 0; i < block; ++i)
+                blk[i] = sig.f32()[ch * total + off + i];
+            convolver(as_vec_mdspan(blk));
+            for (std::size_t i = 0; i < block; ++i) out[ch * total + off + i] = blk[i];
+        }
+    }
+    return out;
+}
+
 static void gen_conv_streaming() {
     auto sig = in("in_sig.npy");
     auto ir = in("in_ir.npy");
@@ -157,6 +214,35 @@ static void gen_conv_streaming() {
     {
         auto out = stream<conv::upola_convolver<C>>(sig, ir, block, 1.0F);
         save_f32("ref_upola_b128.npy", {sig.shape[0], sig.shape[1]}, out);
+    }
+
+    // Split-complex (SoA planes) convolver aliases (dense_convolver.hpp:32-39)
+    {
+        auto out = stream<conv::split_upols_convolver<C>>(sig, ir, block, 1.0F);
+        save_f32("ref_split_upols_b128.npy", {sig.shape[0], sig.shape[1]}, out);
+    }
+    {
+        auto out = stream<conv::split_upola_convolver<C>>(sig, ir, block, 1.0F);
+        save_f32("ref_split_upola_b128.npy", {sig.shape[0], sig.shape[1]}, out);
+    }
+
+    // Sparse-filter convolver (sparse_convolver.hpp:16): keep every bin
+    // whose index is not a multiple of 3 — index-based so the mask is
+    // reproducible bit-exactly on both sides.
+    {
+        auto pred = [](auto /*row*/, auto col, auto /*value*/) { return (col % 3) != 0; };
+        auto out = stream_sparse<conv::sparse_upols_convolver<C>>(sig, ir, block, pred);
+        save_f32("ref_sparse_upols_b128.npy", {sig.shape[0], sig.shape[1]}, out);
+    }
+
+    // Raw OLS/OLA processors with a single-partition filter multiply.
+    {
+        auto x = in("in_rnoise_1024.npy");
+        auto flt = in("in_b33.npy");
+        auto out = stream_overlap<conv::overlap_save<C>>(x, flt, 64, 33);
+        save_f32("ref_ols_b64_f33.npy", {out.size()}, out);
+        auto out2 = stream_overlap<conv::overlap_add<C>>(x, flt, 64, 33);
+        save_f32("ref_ola_b64_f33.npy", {out2.size()}, out2);
     }
 
     // Compressed (quantized) FDL variants. The reference quantizes at a
