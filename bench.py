@@ -56,12 +56,29 @@ CHANNELS = 64
 P_REAL = int(np.ceil(10.0 * SR / BLOCK))  # 938 partitions (10 s IR)
 
 
-def _make_parts(p, bins):
+def _make_ir(p=None, block=None):
+    """Time-domain bench IR: 10 s of exponentially decaying noise (the
+    shape of a real reverb tail, like the WAV IRs the reference CLI
+    convolves, ``extra/cli/src/convolver.cpp:60-148``)."""
+    p = P_REAL if p is None else p
+    block = BLOCK if block is None else block
     rng = np.random.default_rng(0)
-    return (
-        (rng.standard_normal((1, p, bins)) + 1j * rng.standard_normal((1, p, bins)))
-        * (0.05 * np.exp(-np.arange(p) / (p / 4))[None, :, None])
-    ).astype(np.complex64)
+    n = p * block
+    t = np.arange(n)
+    return rng.standard_normal(n) * (0.05 * np.exp(-t / (n / 4)))
+
+
+def _make_parts(p, bins):
+    """Partitioned spectra of the bench IR (``uniform_partition`` semantics:
+    rfft of each B-sample segment zero-padded to 2B,
+    ``uniform_partition.hpp:13-26``). Deriving the spectra from a real
+    time-domain IR (rather than sampling random spectra) makes the exact
+    convolution a plain f64 FFT convolution — so the SNR oracle can be
+    evaluated at ANY stream offset, in particular in steady state."""
+    b = bins - 1
+    ir = _make_ir(p, b).reshape(p, b)
+    seg = np.concatenate([ir, np.zeros_like(ir)], axis=-1)
+    return np.fft.rfft(seg, axis=-1)[None].astype(np.complex64)
 
 
 def _signal(num_blocks):
@@ -88,9 +105,20 @@ def _signal(num_blocks):
     return gen(num_blocks * BLOCK)
 
 
-# SNR check: first _SNR_BLOCKS blocks x first _SNR_CH channels of every
-# engine's output vs one shared f64 UPOLS oracle (state starts at zero, so
-# the prefix depends only on the signal prefix).
+# SNR check: _SNR_BLOCKS blocks x _SNR_CH channels of every engine's
+# output vs one shared exact-f64 oracle, measured in STEADY STATE — the
+# window starts at block _SNR_START, past the 938-block IR depth, so the
+# delay line is fully populated. A cold-start window (r2-r4 protocol)
+# systematically under-reads quantized storages: output blocks < P hold
+# only the partial signal energy of the partitions streamed so far, while
+# the inverse meta-FFT spreads each quantized row's noise white across
+# ALL frames — the first 16 blocks see < 20% of the signal energy against
+# the full row noise (measured ~6 dB low for int8, ~2 dB for DEFAULT-
+# precision transforms). The reference's own tolerance checks run warmed
+# convolvers (streams past the filter length,
+# ``uniform_partitioned_convolver_test.cpp:59-88``), so steady state is
+# the honest class measurement.
+_SNR_START = 1152  # blocks; > P_REAL and a multiple of every chunk size
 _SNR_BLOCKS = 16
 _SNR_CH = 4
 
@@ -100,7 +128,13 @@ def _time(proc, params, state, sig, repeats=2):
     import jax.numpy as jnp
 
     st, out = proc(params, state, sig)
-    head = np.asarray(out[:_SNR_CH, : _SNR_BLOCKS * BLOCK], np.float64)
+    assert out.shape[-1] >= (_SNR_START + _SNR_BLOCKS) * BLOCK, (
+        "stream too short for the steady-state SNR window"
+    )
+    head = np.asarray(
+        out[:_SNR_CH, _SNR_START * BLOCK : (_SNR_START + _SNR_BLOCKS) * BLOCK],
+        np.float64,
+    )
     float(jnp.sum(jnp.abs(out)))  # host fetch = reliable sync
     times = []
     for _ in range(repeats):
@@ -112,24 +146,18 @@ def _time(proc, params, state, sig, repeats=2):
 
 
 def _oracle_head():
-    """Exact f64 UPOLS recurrence (numpy) over the shared parts + signal:
-    the same math as ``conv.convolver.step`` with the reference's
-    unnormalized-ifft + 1/N semantics (``overlap_save.hpp:85-112``)."""
-    parts = _make_parts(P_REAL, BLOCK + 1)[0].astype(np.complex128)  # [P, K]
-    sig = np.asarray(_signal(_SNR_BLOCKS)[:_SNR_CH], np.float64)
-    n = 2 * BLOCK
-    window = np.zeros((_SNR_CH, n))
-    hist = np.zeros((P_REAL, _SNR_CH, BLOCK + 1), np.complex128)
-    out = np.zeros_like(sig)
-    for i in range(_SNR_BLOCKS):
-        window[:, :BLOCK] = window[:, BLOCK:]
-        window[:, BLOCK:] = sig[:, i * BLOCK : (i + 1) * BLOCK]
-        pos = i % P_REAL
-        hist[pos] = np.fft.rfft(window, axis=-1)
-        idx = (pos - np.arange(P_REAL)) % P_REAL
-        acc = (hist[idx] * parts[:, None]).sum(0)
-        out[:, i * BLOCK : (i + 1) * BLOCK] = np.fft.irfft(acc, n=n, axis=-1)[:, BLOCK:]
-    return out
+    """Exact f64 linear convolution of the bench signal with the bench IR
+    (one FFT multiply — the parts are uniform_partition spectra of a real
+    time-domain IR, so the partitioned engines compute exactly this),
+    sliced to the steady-state SNR window."""
+    ir = _make_ir()
+    sig = np.asarray(_signal(_SNR_START + _SNR_BLOCKS)[:_SNR_CH], np.float64)
+    t_len = sig.shape[1]
+    nfft = 1 << int(np.ceil(np.log2(t_len + ir.size)))
+    out = np.fft.irfft(
+        np.fft.rfft(sig, nfft) * np.fft.rfft(ir, nfft)[None], nfft
+    )[:, :t_len]
+    return out[:, _SNR_START * BLOCK :]
 
 
 def _snr_db(head, oracle):
@@ -240,7 +268,7 @@ def bench_perblock(storage, mac, fused=None):
     )
     params = cv.filter_params(cfg, parts)
     state = cv.init_state(cfg)
-    nb = 469  # ~5 s
+    nb = 1280  # ~13.7 s: past the steady-state SNR window
     sig = _signal(nb)
     proc = jax.jit(partial(cv.process, cfg), donate_argnums=(1,))
     dt, head = _time(proc, params, state, sig)
@@ -271,7 +299,7 @@ def bench_perblock_sparse(storage="bf16", density=0.3):
     mask[: int(p * density)] = True
     params = cv.filter_params(cfg, parts, sparsity=mask)
     state = cv.init_state(cfg)
-    nb = 469
+    nb = 1280
     sig = _signal(nb)
     proc = jax.jit(partial(cv.process, cfg), donate_argnums=(1,))
     dt, _ = _time(proc, params, state, sig)

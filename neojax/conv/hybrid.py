@@ -26,6 +26,13 @@ UPOLS schedule (head sum + tail sum = full partition sum; linearity).
 Storage ladder as elsewhere: "split" (f32, exact), "bf16", "int8"/"int16"
 (head FDL quantized per-channel like ``conv.fdl``; tail meta-FDL per-(c,k)
 like ``conv.nested``). Shared and per-channel filters both supported.
+
+int8 stores its HEAD ring at int16 (``_head_storage``): the head is 6.8%
+of the delay-line rows at the headline depth but carries ~42% of a
+decaying IR's signal energy, so head quantization noise dominated the
+rung (41 dB measured r5) while head bytes are negligible — stage-wise
+noise shaping. The bulk storage (the meta-FDL) stays int8; the rung meets
+its 46 dB reference class (``compressed_fdl_test.cpp:24-29``) this way.
 """
 
 from __future__ import annotations
@@ -93,7 +100,7 @@ def hybrid_filter_params(
 
         head_cfg = _dc.replace(
             config, num_partitions=s, layout="ring", mac_backend="pallas",
-            packed=True, fused=True,
+            packed=True, fused=True, storage=_head_storage(config),
         )
         params["head_packed"] = _cv.filter_params(
             head_cfg, np.moveaxis(head, 1, 0)
@@ -113,9 +120,19 @@ def hybrid_filter_params(
     return params
 
 
+def _head_storage(config: PartitionedConfig) -> str:
+    """Per-stage storage: the int8 rung keeps its (tiny, signal-dominant)
+    head ring at int16 — see the module docstring."""
+    if config.storage == "dense":
+        return "split"
+    if config.storage == "int8":
+        return "int16"
+    return config.storage
+
+
 def _head_storage_init(config, s):
-    return fdl_lib.fdl_init("split" if config.storage == "dense" else config.storage,
-                            s, config.channels, config.num_bins)
+    return fdl_lib.fdl_init(_head_storage(config), s, config.channels,
+                            config.num_bins)
 
 
 def _use_fused_head(config: PartitionedConfig) -> bool:
@@ -150,7 +167,7 @@ def hybrid_init_state(config: PartitionedConfig, params: dict) -> dict:
     }
     if _use_fused_head(config) and "head_packed" in params:
         state["head_fdl"], state["head_dcny"] = fdl_lib.fdl_packed_init(
-            config.storage, s, c, config.block_size
+            _head_storage(config), s, c, config.block_size
         )
     else:
         state["head_fdl"] = _head_storage_init(config, s)
@@ -223,11 +240,13 @@ def process_hybrid(
         from neojax.kernels.fused_step import fused_stream
 
         hp = params["head_packed"]
-        head_cfg = _dc.replace(config, num_partitions=s)
+        head_cfg = _dc.replace(
+            config, num_partitions=s, storage=_head_storage(config)
+        )
         shared_h = "filt_rim8" in hp
         rim_h = hp["filt_rim8"] if shared_h else hp["filt_rim"]
         mat_dt = (
-            jnp.bfloat16 if config.storage in ("bf16", "int8") else jnp.float32
+            jnp.bfloat16 if _head_storage(config) == "bf16" else jnp.float32
         )
         cs_h = jnp.stack(matmul_backend.rfft_packed_matrices(n)).astype(mat_dt)
         abt_h = jnp.stack(matmul_backend.irfft_packed_matrices(n)).astype(
@@ -400,7 +419,23 @@ def process_hybrid(
             # multiplies the window q'+1 chunks old: at this chunk's end the
             # newest ring entry (age 0) is the window we just inserted, and
             # the *next* chunk's tail needs ages 0..P2t-1 against F[0..].
-            if tail_shared:
+            if tail_shared and quant and nested_lib._use_nested_kernel(config):
+                # Pallas nested-MAC with in-kernel group dequant (same
+                # routing as conv.nested): avoids the XLA path's f32
+                # materialization of the dequantized meta planes.
+                from neojax.kernels.nested_mac import nested_mac_pallas
+
+                fre = lax.dynamic_slice_in_dim(tail_re, p2t - 1 - mpos, p2t, axis=0)
+                fim = lax.dynamic_slice_in_dim(tail_im, p2t - 1 - mpos, p2t, axis=0)
+                acc_re, acc_im = nested_mac_pallas(
+                    mfdl,
+                    mscales,
+                    fre[:, 0].astype(jnp.float32),
+                    fim[:, 0].astype(jnp.float32),
+                    interpret=nested_lib._INTERPRET,
+                )
+                xr = None
+            elif tail_shared:
                 fre = lax.dynamic_slice_in_dim(tail_re, p2t - 1 - mpos, p2t, axis=0)
                 fim = lax.dynamic_slice_in_dim(tail_im, p2t - 1 - mpos, p2t, axis=0)
                 xr = mfdl[0].astype(jnp.float32)
@@ -415,14 +450,19 @@ def process_hybrid(
                 fr2 = tail_re.astype(jnp.float32)
                 fi2 = tail_im.astype(jnp.float32)
                 dq = mscales[ages] if quant else None
-            if quant:
-                g = nested_lib._quant_groups(config, s)
-                gs = 2 * s // g
-                dqv = (dq * (1.0 / imax))[..., None]  # [P2t, C, K, G, 1]
-                xr = (xr.reshape(p2t, c, k, g, gs) * dqv).reshape(p2t, c, k, 2 * s)
-                xi = (xi.reshape(p2t, c, k, g, gs) * dqv).reshape(p2t, c, k, 2 * s)
-            acc_re = jnp.sum(xr * fr2 - xi * fi2, axis=0)  # [C, K, 2S]
-            acc_im = jnp.sum(xr * fi2 + xi * fr2, axis=0)
+            if xr is not None:
+                if quant:
+                    g = nested_lib._quant_groups(config, s)
+                    gs = 2 * s // g
+                    dqv = (dq * (1.0 / imax))[..., None]  # [P2t, C, K, G, 1]
+                    xr = (xr.reshape(p2t, c, k, g, gs) * dqv).reshape(
+                        p2t, c, k, 2 * s
+                    )
+                    xi = (xi.reshape(p2t, c, k, g, gs) * dqv).reshape(
+                        p2t, c, k, 2 * s
+                    )
+                acc_re = jnp.sum(xr * fr2 - xi * fi2, axis=0)  # [C, K, 2S]
+                acc_im = jnp.sum(xr * fi2 + xi * fr2, axis=0)
 
             accp = jnp.concatenate([acc_re, acc_im], axis=-1)
             yt = matmul_backend._matmul(accp, meta_mi_tail, fwd_prec)

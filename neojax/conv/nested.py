@@ -127,18 +127,20 @@ def nested_filter_params(
 # range across meta-bins is what sank the int8 rung at production depth
 # (33.6 dB at P=938, VERDICT r2 #3): with a shared row scale, low-magnitude
 # meta-bins quantize to a few codes. Group scales cost G extra f32 per
-# (p2, c, k) — ~12% of the int8 row's bytes at G=16 — and recover the
-# within-row range (+6 dB measured at G=16 on the quant-isolated CPU
-# config, 42.6 -> 48.5 dB).
+# (p2, c, k) row and tighten the peak-to-rms loading of each group's
+# quantizer: the r5 steady-state isolation sweep (tools/int8_sweep.py)
+# measured the G ladder at HIGH transforms as G16 45.4 / G32 46.5 /
+# G64 48.1 dB vs the 46 dB class (compressed_fdl_test.cpp:24-29, 5e-3).
+# int8 runs G=64 — the 48 dB rung, ~2 dB of margin over its class — and
+# the scales stay bandwidth-cheap through the Pallas nested-MAC kernel's
+# in-kernel lane expansion (no HBM-side f32 materialization).
 #
 # int16 deliberately runs G=1 (one scale per whole row): its 16-bit codes
 # leave ~10 dB of slack over the reference's 74 dB class at row granularity
-# (84.5 dB measured r3), and a per-row scalar broadcast fuses into the XLA
+# (86.4 dB measured r5), and a per-row scalar broadcast fuses into the XLA
 # MAC for free — the group-reshape machinery was costing int16 its entire
-# half-the-bytes bandwidth advantage (VERDICT r3 weak #2). int8 keeps
-# group scales and runs them through the Pallas nested-MAC kernel, whose
-# in-kernel lane expansion makes them bandwidth-free.
-_QUANT_GROUPS = {"int8": 16, "int16": 1}
+# half-the-bytes bandwidth advantage (VERDICT r3 weak #2).
+_QUANT_GROUPS = {"int8": 64, "int16": 1}
 
 
 def _quant_groups(config: PartitionedConfig, s: int) -> int:
@@ -157,17 +159,19 @@ def _storage_dtype(config: PartitionedConfig):
 
 
 def _fft_precisions(config: PartitionedConfig):
-    # Measured ladder (64 ch / 10 s IR / block 512, S=128 on v5e):
-    #   int8  + DEFAULT transforms: 2.46 G samples/s, 40.5 dB (max speed;
-    #          the int8 storage floor is ~42 dB anyway)
-    #   int16 + HIGH transforms:    1.54 G samples/s, 87 dB (quality mode —
-    #          DEFAULT would drown its 16-bit storage at 47.8 dB)
+    # Measured ladder (64 ch / 10 s IR / block 512, S=128 on v5e, r5
+    # steady-state sweep in tools/int8_sweep.py):
+    #   int8  + HIGH transforms: 48.1 dB at G=64 scales — the first int8
+    #          config MEETING its reference class (46 dB / 5e-3,
+    #          compressed_fdl_test.cpp:24-29). DEFAULT transforms cost
+    #          ~2.1 dB (their own ~47.6 dB floor) and push the rung to
+    #          ~45.9 — out of class; HIGHEST buys nothing over HIGH.
+    #   int16 + HIGH transforms: 86.4 dB (quality mode — DEFAULT would
+    #          drown its 16-bit storage floor)
     #   bf16 / split: see the chunked policy (DEFAULT / HIGHEST).
     from jax import lax as _lax
 
-    if config.storage == "int8":
-        return (_lax.Precision.DEFAULT, _lax.Precision.DEFAULT)
-    if config.storage == "int16":
+    if config.storage in ("int8", "int16"):
         return (_lax.Precision.HIGH, _lax.Precision.HIGH)
     return _chunked_fft_precisions(config)
 

@@ -28,6 +28,8 @@ def _patched(monkeypatch, block=64, channels=6, p=12):
     monkeypatch.setattr(bench, "BLOCK", block)
     monkeypatch.setattr(bench, "CHANNELS", channels)
     monkeypatch.setattr(bench, "P_REAL", p)
+    # steady-state window: starts past the filter depth (p blocks)
+    monkeypatch.setattr(bench, "_SNR_START", 16)
     monkeypatch.setattr(bench, "_SNR_BLOCKS", 8)
     monkeypatch.setattr(bench, "_SNR_CH", 4)
 
@@ -35,7 +37,7 @@ def _patched(monkeypatch, block=64, channels=6, p=12):
 def test_signal_head_is_length_invariant(monkeypatch):
     _patched(monkeypatch)
     short = np.asarray(bench._signal(8))
-    long = np.asarray(bench._signal(24))
+    long = np.asarray(bench._signal(48))
     np.testing.assert_array_equal(short, long[:, : short.shape[1]])
 
 
@@ -51,10 +53,17 @@ def test_oracle_matches_streamed_process(monkeypatch):
     )
     state = cv.init_state(cfg)
     proc = jax.jit(partial(cv.process, cfg))
-    # Stream 3x more blocks than the oracle computed: the head must still
-    # match (per-channel fold_in keys make the prefix length-invariant).
-    _, out = proc(params, state, jnp.asarray(bench._signal(24)))
+    # Stream past the steady-state window: the windowed output must match
+    # the exact-f64 FFT-convolution oracle (per-channel fold_in keys make
+    # the signal prefix length-invariant).
+    nb = bench._SNR_START + bench._SNR_BLOCKS + 8
+    _, out = proc(params, state, jnp.asarray(bench._signal(nb)))
     head = np.asarray(
-        out[: bench._SNR_CH, : bench._SNR_BLOCKS * bench.BLOCK], np.float64
+        out[
+            : bench._SNR_CH,
+            bench._SNR_START * bench.BLOCK :
+            (bench._SNR_START + bench._SNR_BLOCKS) * bench.BLOCK,
+        ],
+        np.float64,
     )
     assert bench._snr_db(head, oracle) > 100.0
