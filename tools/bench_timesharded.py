@@ -1,16 +1,18 @@
-"""Quantify the time-sharded pipeline's warmup overhead (VERDICT r2 #7).
+"""Quantify the time-sharded pipeline's warmup overhead (VERDICT r2 #7,
+r5 batched-warmup upgrade per VERDICT r4 #5).
 
 The sequence-parallel stream (``neojax.dist.timesharded``) gives each
 device its predecessor's trailing P blocks as a ppermute halo and rebuilds
-the FDL with P-1 *insert-only* steps (rfft + ring insert, no partition
-MAC). The claim to validate: warmup is negligible for m >> P-equivalent
-work, i.e. scaling efficiency ≈ m*t_step / (m*t_step + (P-1)*t_insert).
+the FDL state. Since r5 the rebuild is ONE batched forward transform +
+ring assembly (``dist.timesharded._warmup``) instead of P-1 sequential
+insert steps; scaling efficiency ≈ m*t_step / (m*t_step + t_warmup).
 
 This tool measures, on the real chip at the headline config
 (64 ch, 10 s IR ⇒ P=938→960, block 512):
 
-  - t_step:   steady-state full-step time (the sequential stream rate)
-  - t_insert: insert-only warmup step time
+  - t_step:         steady-state full-step time (sequential stream rate)
+  - t_warmup:       the batched halo->state reconstruction, one call
+  - t_insert (r4):  the old per-block insert-only step, for comparison
   - the halo size in bytes (P*B samples x channels x 4)
 
 and writes TIMESHARD_BENCH.json with the measured per-device efficiency
@@ -93,21 +95,52 @@ def bench_tpu(storage: str = "bf16") -> dict:
 
     t_insert = timed(warm, cv.init_state(cfg), sig)
 
+    # The r5 batched warmup: one call reconstructing the full state from a
+    # [C, P*B] halo (what each device actually runs).
+    from neojax.dist import timesharded as ts
+
+    halo = jnp.asarray(rng.uniform(-1, 1, (C, P * B)), jnp.float32)
+
+    @jax.jit
+    def warm_batched(halo):
+        st = ts._warmup(cfg, params, halo)
+        return jax.tree.leaves(st["fdl"])[0]
+
+    float(jnp.sum(jnp.abs(warm_batched(halo)).astype(jnp.float32)))
+    tws = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(jnp.sum(jnp.abs(warm_batched(halo)).astype(jnp.float32)))
+        tws.append(time.perf_counter() - t0)
+    # subtract the flat fetch-sync latency measured against an empty fetch
+    @jax.jit
+    def noop(x):
+        return jnp.sum(x)
+
+    float(noop(halo))
+    t0 = time.perf_counter()
+    float(noop(halo))
+    t_sync = time.perf_counter() - t0
+    t_warm = max(min(tws) - t_sync, 1e-6)
+
     halo_bytes = C * P * B * 4
     sweep = {}
     for m in [P, 2 * P, 4 * P, 16 * P, 64 * P]:
-        eff = m * t_step / (m * t_step + (P - 1) * t_insert)
+        eff = m * t_step / (m * t_step + t_warm)
         sweep[str(m)] = round(eff, 4)
     return {
         "config": {"block": B, "channels": C, "partitions": P, "storage": storage},
         "t_step_us": round(t_step * 1e6, 1),
-        "t_insert_us": round(t_insert * 1e6, 1),
+        "t_warmup_batched_us": round(t_warm * 1e6, 1),
+        "t_insert_us_r4_path": round(t_insert * 1e6, 1),
+        "warmup_speedup_vs_r4": round((P - 1) * t_insert / t_warm, 1),
         "halo_mbytes": round(halo_bytes / 1e6, 1),
-        "warmup_blocks": P - 1,
         "scaling_efficiency_vs_blocks_per_device": sweep,
         "note": (
-            "eff(m) = m*t_step / (m*t_step + (P-1)*t_insert); halo transfer "
-            "itself is one ppermute message overlapped with warmup compute"
+            "eff(m) = m*t_step / (m*t_step + t_warmup_batched); the r4 "
+            "model was m*t_step / (m*t_step + (P-1)*t_insert). Halo "
+            "transfer itself is one ppermute message overlapped with "
+            "warmup compute."
         ),
     }
 
