@@ -38,6 +38,7 @@ its 46 dB reference class (``compressed_fdl_test.cpp:24-29``) this way.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -52,6 +53,7 @@ __all__ = [
     "hybrid_filter_params",
     "hybrid_init_state",
     "process_hybrid",
+    "HybridStream",
 ]
 
 
@@ -519,3 +521,225 @@ def process_hybrid(
     if squeeze:
         out = out[0]
     return new_state, out
+
+
+class HybridStream:
+    """Per-BLOCK real-time driver of the hybrid engine.
+
+    ``process_hybrid`` runs S blocks per jit call — right for offline
+    throughput, wrong for a real-time callback that hands over ONE block
+    and must return within the block deadline. This wrapper re-schedules
+    the same math the way a real-time engine would (the reference
+    plugin's processBlock contract, ``ConstantOverlapAdd.hpp:89-199``):
+
+      - ``__call__(block)``: the head step — rfft, head-ring insert,
+        S-partition MAC, add the precomputed tail frame, irfft. One small
+        jitted function per callback.
+      - every S-th block, the tail chunk step additionally runs (meta-FFT
+        of the chunk's spectra, meta-FDL MAC, inverse): the amortized
+        Gardner-style tail refresh, scheduled at the chunk boundary.
+
+    Output is block-for-block identical to ``process_hybrid`` (asserted
+    by tests/test_hybrid.py); latency is one block.
+    """
+
+    def __init__(self, config: PartitionedConfig, params: dict):
+        if config.scheme != "upols":
+            raise NotImplementedError("HybridStream is UPOLS-only")
+        self.config = config
+        self.params = params
+        self.s = params["head_re"].shape[0] // 2
+        self.has_tail = "tail" in params
+        # Transform matrices evaluated EAGERLY once: generated inside the
+        # jitted per-block fn they would be re-generated every call (XLA
+        # does not constant-fold multi-MB trig tensors — measured 10 ms of
+        # the per-callback budget on CPU).
+        n = config.transform_size
+        self._rf_cat = jax.tree.map(
+            jnp.asarray, matmul_backend.rfft_cat_matrices(n)
+        )
+        self._irf_cat = jax.tree.map(
+            jnp.asarray, matmul_backend.irfft_cat_matrices(n)
+        )
+        if self.has_tail:
+            self._meta_mats = jax.tree.map(
+                jnp.asarray, nested_lib._meta_gemm_mats(self.s)
+            )
+        self._jit_block = jax.jit(self._block_step, donate_argnums=(0,))
+        self._jit_tail = jax.jit(self._tail_step, donate_argnums=(0,))
+        self.state = self.init_state()
+
+    def init_state(self) -> dict:
+        cfg = self.config
+        c = cfg.channels
+        k = cfg.num_bins
+        s = self.s
+        # per-block stepping uses the plain (XLA) head ring — the fused
+        # whole-stream kernel is a multi-block construct
+        state = {
+            "btail": jnp.zeros((c, cfg.block_size), jnp.float32),
+            "head_pos": jnp.zeros((), jnp.int32),
+            "head_fdl": _head_storage_init(cfg, s),
+            "r": jnp.zeros((), jnp.int32),
+        }
+        if self.has_tail:
+            p2t, s_t, _ = nested_lib._static_dims(self.params["tail"])
+            dtype = nested_lib._storage_dtype(cfg)
+            prev_dtype = jnp.bfloat16 if cfg.storage == "bf16" else jnp.float32
+            state["meta_fdl"] = jnp.zeros((2, p2t, c, k, 2 * s_t), dtype)
+            state["meta_pos"] = jnp.zeros((), jnp.int32)
+            if cfg.storage in ("int8", "int16"):
+                state["meta_scales"] = jnp.ones(
+                    (p2t, c, k, nested_lib._quant_groups(cfg, s_t)), jnp.float32
+                )
+            state["prev_spec"] = jnp.zeros((2, c, k, s), prev_dtype)
+            state["tail_frames"] = jnp.zeros((2, c, k, s), jnp.float32)
+            state["chunk_spec"] = jnp.zeros((2, c, k, s), jnp.float32)
+        return state
+
+    # -- jitted pieces ----------------------------------------------------
+
+    def _block_step(self, state, block):
+        cfg = self.config
+        b = cfg.block_size
+        n = cfg.transform_size
+        s = self.s
+        fwd_prec, inv_prec = _fft_precisions(cfg)
+        rf_cat = self._rf_cat
+        irf_cat = self._irf_cat
+
+        frame = jnp.concatenate([state["btail"], block], axis=-1)
+        sre, sim = matmul_backend.rfft_split_cat(frame, n, fwd_prec, mats=rf_cat)
+        hpos = state["head_pos"]
+        hfdl = fdl_lib.fdl_ring_push_split(state["head_fdl"], sre, sim, hpos)
+        fr = fdl_lib.rotated_filter(self.params["head_re"], hpos, s)
+        fi = fdl_lib.rotated_filter(self.params["head_im"], hpos, s)
+        acc_re, acc_im = fdl_lib.fdl_mac_split(hfdl, fr, fi)
+        if self.has_tail:
+            r = state["r"]
+            acc_re = acc_re + state["tail_frames"][0, :, :, r]
+            acc_im = acc_im + state["tail_frames"][1, :, :, r]
+        y = matmul_backend.irfft_split_cat(acc_re, acc_im, n, inv_prec, mats=irf_cat)
+        out = y[..., b:]
+
+        new_state = dict(state)
+        new_state["btail"] = block
+        new_state["head_fdl"] = hfdl
+        new_state["head_pos"] = (hpos + 1) % s
+        new_state["r"] = state["r"] + 1
+        if self.has_tail:
+            spec = jnp.stack([sre, sim])  # [2, C, K]
+            z = jnp.zeros((), state["r"].dtype)
+            new_state["chunk_spec"] = jax.lax.dynamic_update_slice(
+                state["chunk_spec"],
+                spec[..., None].astype(state["chunk_spec"].dtype),
+                (z, z, z, state["r"]),
+            )
+        return new_state, out
+
+    def _tail_step(self, state):
+        """Chunk-boundary tail refresh — the meta (nested) update of
+        ``process_hybrid.chunk_step``, verbatim math."""
+        cfg = self.config
+        s = self.s
+        c = cfg.channels
+        k = cfg.num_bins
+        quant = cfg.storage in ("int8", "int16")
+        imax = (
+            int_max_for(fdl_lib.STORAGE_DTYPES[cfg.storage]) if quant else None
+        )
+        fwd_prec, _ = _fft_precisions(cfg)
+        tail_re = self.params["tail"]["filt_re"]
+        tail_im = self.params["tail"]["filt_im"]
+        p2t, _, tail_shared = nested_lib._static_dims(self.params["tail"])
+        meta_mf, meta_mi_tail = self._meta_mats
+
+        prev = state["prev_spec"]
+        cur = state["chunk_spec"]
+        wpk = jnp.concatenate(
+            [prev[0], cur[0].astype(prev.dtype), prev[1], cur[1].astype(prev.dtype)],
+            axis=-1,
+        ).astype(jnp.float32)
+        x = matmul_backend._matmul(wpk, meta_mf, fwd_prec)
+        xre = x[..., : 2 * s]
+        xim = x[..., 2 * s :]
+
+        mfdl = state["meta_fdl"]
+        mpos = state["meta_pos"]
+        z = jnp.zeros((), mpos.dtype)
+        row_f = jnp.stack([xre, xim])
+        if quant:
+            g = nested_lib._quant_groups(cfg, s)
+            gs = 2 * s // g
+            grp = row_f.reshape(2, c, k, g, gs)
+            peak = jnp.max(jnp.abs(grp), axis=(0, 4))
+            scale = jnp.where(peak > 0, peak, 1.0)
+            q = jnp.clip(
+                jnp.round(grp / scale[None, :, :, :, None] * imax), -imax, imax
+            ).astype(mfdl.dtype).reshape(2, c, k, 2 * s)
+            mfdl = jax.lax.dynamic_update_slice(mfdl, q[:, None], (z, mpos, z, z, z))
+            mscales = jax.lax.dynamic_update_slice(
+                state["meta_scales"], scale[None], (mpos, z, z, z)
+            )
+        else:
+            mfdl = jax.lax.dynamic_update_slice(
+                mfdl, row_f.astype(mfdl.dtype)[:, None], (z, mpos, z, z, z)
+            )
+            mscales = None
+
+        if tail_shared:
+            fre = jax.lax.dynamic_slice_in_dim(tail_re, p2t - 1 - mpos, p2t, axis=0)
+            fim = jax.lax.dynamic_slice_in_dim(tail_im, p2t - 1 - mpos, p2t, axis=0)
+            xr = mfdl[0].astype(jnp.float32)
+            xi = mfdl[1].astype(jnp.float32)
+            fr2 = fre.astype(jnp.float32)
+            fi2 = fim.astype(jnp.float32)
+            dq = mscales
+        else:
+            ages = jnp.mod(mpos - jnp.arange(p2t), p2t)
+            xr = mfdl[0][ages].astype(jnp.float32)
+            xi = mfdl[1][ages].astype(jnp.float32)
+            fr2 = tail_re.astype(jnp.float32)
+            fi2 = tail_im.astype(jnp.float32)
+            dq = mscales[ages] if quant else None
+        if quant:
+            g = nested_lib._quant_groups(cfg, s)
+            gs = 2 * s // g
+            dqv = (dq * (1.0 / imax))[..., None]
+            xr = (xr.reshape(p2t, c, k, g, gs) * dqv).reshape(p2t, c, k, 2 * s)
+            xi = (xi.reshape(p2t, c, k, g, gs) * dqv).reshape(p2t, c, k, 2 * s)
+        acc_re = jnp.sum(xr * fr2 - xi * fi2, axis=0)
+        acc_im = jnp.sum(xr * fi2 + xi * fr2, axis=0)
+
+        accp = jnp.concatenate([acc_re, acc_im], axis=-1)
+        yt = matmul_backend._matmul(accp, meta_mi_tail, fwd_prec)
+        new_tail_frames = jnp.stack([yt[..., :s], yt[..., s:]])
+
+        new_state = dict(state)
+        new_state["meta_fdl"] = mfdl
+        new_state["meta_pos"] = jnp.mod(mpos + 1, p2t)
+        new_state["prev_spec"] = cur.astype(prev.dtype)
+        new_state["tail_frames"] = new_tail_frames
+        new_state["r"] = jnp.zeros((), jnp.int32)
+        if quant:
+            new_state["meta_scales"] = mscales
+        return new_state
+
+    # -- the real-time callback -------------------------------------------
+
+    def __call__(self, block):
+        """One block in, one block out (the processBlock contract).
+
+        The chunk phase is tracked host-side (it is deterministic), so a
+        callback is pure async dispatch — no device round-trip to read a
+        counter."""
+        block = jnp.asarray(block, jnp.float32)
+        self.state, out = self._jit_block(self.state, block)
+        self._r = getattr(self, "_r", 0) + 1
+        if self._r == self.s:
+            self._r = 0
+            if self.has_tail:
+                self.state = self._jit_tail(self.state)
+            else:
+                self.state["r"] = jnp.zeros((), jnp.int32)
+        return out

@@ -1,12 +1,16 @@
 """Hybrid (two-stage) engine must match the uniform per-block schedule."""
 
+import time
+
 import numpy as np
 from functools import partial
 import pytest
+import jax
 import jax.numpy as jnp
 
 from neojax import conv
 from neojax.conv import hybrid
+from neojax.conv import hybrid as hy
 
 
 @pytest.mark.parametrize("s", [4, 8])
@@ -147,3 +151,71 @@ def test_hybrid_fused_head_matches_xla_head(make_noise):
         scale = float(jnp.max(jnp.abs(out_x)))
         d = float(jnp.max(jnp.abs(out_x - out_f))) / max(scale, 1e-6)
         assert d < tol[storage], (storage, d)
+
+
+@pytest.mark.parametrize("storage", ["split", "int8"])
+def test_hybrid_stream_matches_process(make_noise, storage):
+    """HybridStream (per-block real-time driver) is block-for-block
+    identical to the offline S-blocks-per-call process_hybrid."""
+    b, s, c, p = 32, 4, 2, 20
+    rng = np.random.default_rng(9)
+    parts = (
+        (rng.standard_normal((1, p, b + 1)) + 1j * rng.standard_normal((1, p, b + 1)))
+        * 0.1
+    ).astype(np.complex64)
+    sig = make_noise(c, 6 * s * b)
+
+    cfg = conv.PartitionedConfig(b, p, c, storage=storage)
+    params = hy.hybrid_filter_params(cfg, parts, s)
+    params = {k: v for k, v in params.items() if k != "head_packed"}
+    st = hy.hybrid_init_state(cfg, params)
+    _, ref = jax.jit(partial(hy.process_hybrid, cfg))(params, st, jnp.asarray(sig))
+
+    stream = hy.HybridStream(cfg, params)
+    outs = []
+    for i in range(sig.shape[1] // b):
+        outs.append(np.asarray(stream(sig[:, i * b : (i + 1) * b])))
+    out = np.concatenate(outs, axis=-1)
+    tol = 1e-5 if storage == "split" else 1e-4
+    np.testing.assert_allclose(out, np.asarray(ref), atol=tol)
+
+
+def test_hybrid_stream_through_executor(make_noise):
+    """The real-time path end-to-end: HybridStream driven by the
+    StreamExecutor worker over the native lock-free rings, arbitrary
+    producer chunk sizes — equals the offline stream (the plugin's
+    ConstantOverlapAdd + processFrame contract)."""
+    from neojax.io import StreamExecutor
+
+    b, s, c, p = 32, 4, 2, 12
+    rng = np.random.default_rng(11)
+    parts = (
+        (rng.standard_normal((1, p, b + 1)) + 1j * rng.standard_normal((1, p, b + 1)))
+        * 0.1
+    ).astype(np.complex64)
+    nb = 4 * s
+    sig = make_noise(c, nb * b)
+
+    cfg = conv.PartitionedConfig(b, p, c, storage="split")
+    params = hy.hybrid_filter_params(cfg, parts, s)
+    params = {k: v for k, v in params.items() if k != "head_packed"}
+    st = hy.hybrid_init_state(cfg, params)
+    _, ref = jax.jit(partial(hy.process_hybrid, cfg))(params, st, jnp.asarray(sig))
+
+    stream = hy.HybridStream(cfg, params)
+
+    def step(state, block):  # executor owns no engine state; stream does
+        return state, stream(block)
+
+    got = []
+    with StreamExecutor(step, None, c, b) as ex:
+        sent = 0
+        t0 = time.time()
+        while sum(x.shape[1] for x in got) < nb * b and time.time() - t0 < 60:
+            if sent < sig.shape[1]:
+                sent += ex.push(sig[:, sent : sent + 100])  # odd chunk size
+            chunk = ex.pull(96)
+            if chunk.shape[1]:
+                got.append(chunk)
+    out = np.concatenate(got, axis=-1)[:, : nb * b]
+    np.testing.assert_allclose(out, np.asarray(ref)[:, : out.shape[1]], atol=1e-5)
