@@ -45,9 +45,25 @@ from jax import lax
 from neojax.conv import fdl as fdl_lib
 from neojax.conv import nested as nested_lib
 from neojax.conv.convolver import PartitionedConfig, _canon_partitions
-from neojax.conv.nested import _fft_precisions
 from neojax.fft import matmul_backend
 from neojax.ops.quantize import int_max_for
+
+
+def _fft_precisions(config: PartitionedConfig):
+    """Hybrid-specific transform precision policy.
+
+    The exact-class rungs (split/dense) run the tail's meta GEMMs and the
+    XLA head transforms at HIGH (3-pass bf16x3): measured 96.7 dB vs the
+    90 dB reference class bound at 724 vs 452 M samples/s (r5 same-claim
+    A/B at S=64) — the head's in-kernel transforms stay 6-pass exact,
+    which is what keeps the rung comfortably above class (nested at
+    all-HIGH measured 89.8, *below*). Other storages follow the nested
+    ladder."""
+    from jax import lax as _lax
+
+    if config.storage in ("split", "dense"):
+        return (_lax.Precision.HIGH, _lax.Precision.HIGH)
+    return nested_lib._fft_precisions(config)
 
 __all__ = [
     "hybrid_filter_params",
@@ -250,10 +266,13 @@ def process_hybrid(
         mat_dt = (
             jnp.bfloat16 if _head_storage(config) == "bf16" else jnp.float32
         )
-        cs_h = jnp.stack(matmul_backend.rfft_packed_matrices(n)).astype(mat_dt)
-        abt_h = jnp.stack(matmul_backend.irfft_packed_matrices(n)).astype(
+        cs_h = jnp.concatenate(
+            matmul_backend.rfft_packed_matrices(n), axis=-1
+        ).astype(mat_dt)  # [N, 2B] lane-packed (see fused_stream)
+        _ia, _ib = matmul_backend.irfft_packed_matrices(n)
+        abt_h = jnp.concatenate([_ia[:, b:], _ib[:, b:]], axis=0).astype(
             mat_dt
-        )[:, :, b:]
+        )  # [2B, B]
         cpad = -(-c // 128) * 128
 
     def fused_head_chunk(btail, hfdl, hdcny, hpos, tail_frames, chunk):
@@ -421,17 +440,17 @@ def process_hybrid(
             # multiplies the window q'+1 chunks old: at this chunk's end the
             # newest ring entry (age 0) is the window we just inserted, and
             # the *next* chunk's tail needs ages 0..P2t-1 against F[0..].
-            if tail_shared and quant and nested_lib._use_nested_kernel(config):
-                # Pallas nested-MAC with in-kernel group dequant (same
-                # routing as conv.nested): avoids the XLA path's f32
-                # materialization of the dequantized meta planes.
+            if tail_shared and nested_lib._use_nested_kernel(config):
+                # Pallas nested-MAC (same routing as conv.nested): DMA-rate
+                # meta-plane reads for every storage; in-kernel group
+                # dequant for the quantized ones.
                 from neojax.kernels.nested_mac import nested_mac_pallas
 
                 fre = lax.dynamic_slice_in_dim(tail_re, p2t - 1 - mpos, p2t, axis=0)
                 fim = lax.dynamic_slice_in_dim(tail_im, p2t - 1 - mpos, p2t, axis=0)
                 acc_re, acc_im = nested_mac_pallas(
                     mfdl,
-                    mscales,
+                    mscales if quant else None,
                     fre[:, 0].astype(jnp.float32),
                     fim[:, 0].astype(jnp.float32),
                     interpret=nested_lib._INTERPRET,

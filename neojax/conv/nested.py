@@ -182,8 +182,10 @@ _INTERPRET = False
 
 
 def _use_nested_kernel(config: PartitionedConfig) -> bool:
-    """Pallas nested-MAC with fused dequant: quantized storages on TPU
-    (shared filters; the per-channel case keeps the XLA gather path)."""
+    """Pallas nested-MAC on TPU for SHARED filters, every storage: fused
+    group dequant for int8/int16, plain DMA-rate MAC for split/bf16 (the
+    XLA elementwise reduce ran ~4x below the DMA rate on the meta planes,
+    r5 decomposition). The per-channel case keeps the XLA gather path."""
     if config.mac_backend == "xla":
         return False
     return _INTERPRET or jax.default_backend() == "tpu"
@@ -366,15 +368,16 @@ def process_nested(
             xg_re = fdl[0][ages]
             xg_im = fdl[1][ages]
 
-        if shared and quant and _use_nested_kernel(config):
-            # Pallas kernel: int planes + scale table straight from HBM,
-            # dequant in-register (group scales lane-expanded in-kernel) —
-            # no f32 delay-line materialization pass.
+        if shared and _use_nested_kernel(config):
+            # Pallas kernel: planes (+ scale table) straight from HBM,
+            # dequant in-register for the quantized storages (group scales
+            # lane-expanded in-kernel) — no f32 delay-line materialization
+            # pass, DMA-rate reads for every storage.
             from neojax.kernels.nested_mac import nested_mac_pallas
 
             acc_re, acc_im = nested_mac_pallas(
                 fdl,
-                scales,
+                scales if quant else None,
                 fre[:, 0].astype(jnp.float32),
                 fim[:, 0].astype(jnp.float32),
                 interpret=_INTERPRET,

@@ -57,21 +57,39 @@ __all__ = [
     "shift8_filter",
 ]
 
-# Target bytes per FDL chunk DMA (per buffer slot).
-_CHUNK_TARGET = 4 * 1024 * 1024
+# Target bytes per FDL chunk DMA (per buffer slot). Small chunks pipeline
+# better (r5 same-claim slope ladder at the headline config: 4 MB -> 1 MB
+# chunks took bf16 P=960 from 179.0 to 175.3 us/block, 0.874 -> 0.893 of
+# spec roofline; 8 MB was WORSE at 184); 8 rows is the floor — the shared
+# 8-shift rim DMA slices rows at 8-aligned offsets.
+_CHUNK_TARGET = 1024 * 1024
 
-# FDL chunk buffer slots (2 chunks in flight + 1 in compute).
-_SLOTS = 3
+# FDL chunk buffer slots (in-flight DMA depth + 1 in compute).
+_SLOTS = 4
 
 # CPU tests flip this to run the kernel in interpreter mode through the
 # full convolver path (clear jax caches after flipping back).
 _INTERPRET = False
 
+# Rings at or under this many bytes stay VMEM-RESIDENT across the whole
+# stream (loaded once, updated in place by the per-step insert): the MAC
+# then reads VMEM instead of re-streaming the ring from HBM every block.
+# This is the small-P fast path — the hybrid engine's S-row head ring and
+# shallow-IR configs — worth ~3x at S=64 f32 (r5). Dense schedules only
+# (the sparse lane-width path keeps streaming).
+_RESIDENT_MAX = 24 * 1024 * 1024
+
 
 def fused_chunk_rows(dtype, p: int, c: int, b: int) -> int:
-    """Partition rows per chunk: ~_CHUNK_TARGET slots, exact divisor of P."""
+    """Partition rows per chunk: ~_CHUNK_TARGET slots, exact divisor of P,
+    preferring multiples of 8 (the shared rim DMA's sublane alignment)."""
     bytes_per_row = 2 * c * b * jnp.dtype(dtype).itemsize
     cap = max(1, min(p, _CHUNK_TARGET // max(1, bytes_per_row)))
+    if p % 8 == 0:
+        cap = max(cap, 8)  # alignment floor for the 8-shift rim slices
+        for d in range(cap - cap % 8, 7, -8):
+            if p % d == 0:
+                return d
     for d in range(cap, 0, -1):
         if p % d == 0:
             return d
@@ -81,6 +99,9 @@ def fused_chunk_rows(dtype, p: int, c: int, b: int) -> int:
 def _dot(a, bm):
     # HIGHEST (6-pass) for f32 operands; bf16 operands are the 1-pass
     # storage-matched precision and reject an explicit fp32 contract.
+    # (A 3-pass bf16x3 emulation was A/B'd in r5: identical speed on both
+    # the P=960 stream and the P=32 floor — the kernel is DMA-bound, not
+    # MXU-pass-bound — so the exact 6-pass form stays.)
     prec = (
         lax.Precision.DEFAULT
         if a.dtype == jnp.bfloat16
@@ -453,7 +474,8 @@ def _rem(a, b):
 def _mk_stream_kernel(*, nb: int, npc: int, pc: int, p: int, c: int, cf: int,
                       b: int, cpad: int, quant: bool, shared: bool,
                       inv_max: float, int_max: float, dt, n_sched: int,
-                      widths: tuple, has_acc: bool, interpret_seed: bool):
+                      widths: tuple, has_acc: bool, interpret_seed: bool,
+                      resident: bool = False):
     sparse = n_sched > 0
     n = 2 * b
 
@@ -514,7 +536,27 @@ def _mk_stream_kernel(*, nb: int, npc: int, pc: int, p: int, c: int, cf: int,
                 dma_sems.at[slot, 0],
             )
 
+        def fdl_res_copy():
+            # resident mode: the WHOLE ring lives in VMEM across steps —
+            # loaded once here, kept current by the per-step insert below.
+            return pltpu.make_async_copy(fdl_out, fdlbuf, dma_sems.at[0, 0])
+
         def rim_copies(slot, cj, wd, fstart, r8, base):
+            # Dense mode reads the full [0, 2B) lane range: ONE DMA for the
+            # packed re|im plane (the split re/im copies exist only for the
+            # sparse lane-width path, whose live lanes are a [0, wd) prefix
+            # of each half).
+            if not sparse:
+                if shared:
+                    off = pl.multiple_of(base + cj * pc, 8)
+                    src = rim_any.at[r8, pl.ds(off, pc)]
+                    dst = rimbuf.at[slot]
+                else:
+                    src = rim_any.at[pl.ds(fstart + cj * pc, pc)]
+                    dst = rimbuf.at[slot]
+                return (
+                    pltpu.make_async_copy(src, dst, dma_sems.at[slot, 1]),
+                )
             if shared:
                 off = pl.multiple_of(base + cj * pc, 8)
                 src_re = rim_any.at[r8, pl.ds(off, pc), pl.ds(0, wd)]
@@ -547,10 +589,10 @@ def _mk_stream_kernel(*, nb: int, npc: int, pc: int, p: int, c: int, cf: int,
             cj, wc = chunk_of(row, jj)
 
             def go(wd):
-                fdl_copy(slot, cj, wd).start()
-                cre, cim = rim_copies(slot, cj, wd, *rot)
-                cre.start()
-                cim.start()
+                if not resident:
+                    fdl_copy(slot, cj, wd).start()
+                for cp in rim_copies(slot, cj, wd, *rot):
+                    cp.start()
 
             _for_width(wc, go)
 
@@ -560,10 +602,10 @@ def _mk_stream_kernel(*, nb: int, npc: int, pc: int, p: int, c: int, cf: int,
             rot0 = (z, z, z) if shared else (z, None, None)
 
             def go(wd):
-                fdl_copy(slot, cj, wd).wait()
-                cre, cim = rim_copies(slot, cj, wd, *rot0)
-                cre.wait()
-                cim.wait()
+                if not resident:
+                    fdl_copy(slot, cj, wd).wait()
+                for cp in rim_copies(slot, cj, wd, *rot0):
+                    cp.wait()
 
             _for_width(wc, go)
 
@@ -585,6 +627,10 @@ def _mk_stream_kernel(*, nb: int, npc: int, pc: int, p: int, c: int, cf: int,
                 seed.start()
                 seed.wait()
             win_dma(0, 0).start()
+            if resident:
+                cp0 = fdl_res_copy()
+                cp0.start()
+                cp0.wait()
             start_chunk(0, 0, 0, rot_i)
             if sparse:
                 @pl.when(nloop > 1)
@@ -603,10 +649,12 @@ def _mk_stream_kernel(*, nb: int, npc: int, pc: int, p: int, c: int, cf: int,
 
         win_dma(_rem(i, 2), i).wait()
 
-        # ---- forward rfft (packed) on the MXU
+        # ---- forward rfft (packed) on the MXU: ONE [C, N] @ [N, 2B] GEMM
+        # (cos|sin lane-packed — half the matmul issues of two [N, B] dots)
         frame = winbuf[_rem(i, 2)].astype(cs_ref.dtype)
-        spec_re = _dot(frame, cs_ref[0])  # [C, B] f32 accum
-        spec_im = _dot(frame, cs_ref[1])
+        spec = _dot(frame, cs_ref[...])  # [C, 2B] f32 accum
+        spec_re = lax.slice(spec, (0, 0), (c, b))
+        spec_im = lax.slice(spec, (0, b), (c, 2 * b))
 
         # ---- quantize + ring insert at row `pos`
         if quant:
@@ -626,6 +674,8 @@ def _mk_stream_kernel(*, nb: int, npc: int, pc: int, p: int, c: int, cf: int,
             qrow_ref, fdl_out.at[:, pl.ds(pos, 1)], wr_sems.at[0]
         )
         row_wr.start()
+        if resident:
+            fdlbuf[:, pl.ds(pos, 1)] = qrow_ref[...]
         if quant:
             scale_pad = jnp.concatenate(
                 [scale, jnp.ones((cpad - c,), jnp.float32)]
@@ -649,15 +699,21 @@ def _mk_stream_kernel(*, nb: int, npc: int, pc: int, p: int, c: int, cf: int,
 
             wait_chunk(slot, 0, j)
             cj, wc = chunk_of(0, j)
-            in_chunk = jnp.logical_and(pos >= cj * pc, pos < (cj + 1) * pc)
-            local = pos - cj * pc
+            if not resident:
+                in_chunk = jnp.logical_and(pos >= cj * pc, pos < (cj + 1) * pc)
+                local = pos - cj * pc
 
-            @pl.when(in_chunk)
-            def _():
-                fdlbuf[slot, :, pl.ds(local, 1)] = qrow_ref[...]
+                @pl.when(in_chunk)
+                def _():
+                    fdlbuf[slot, :, pl.ds(local, 1)] = qrow_ref[...]
 
             def accumulate(wd):
-                x = fdlbuf[slot, :, :, :, pl.ds(0, wd)].astype(jnp.float32)
+                if resident:
+                    x = fdlbuf[
+                        :, pl.ds(cj * pc, pc), :, pl.ds(0, wd)
+                    ].astype(jnp.float32)
+                else:
+                    x = fdlbuf[slot, :, :, :, pl.ds(0, wd)].astype(jnp.float32)
                 if quant:
                     s = lax.slice(
                         sclbuf[pl.ds(cj * pc, pc)], (0, 0), (pc, c)
@@ -700,10 +756,13 @@ def _mk_stream_kernel(*, nb: int, npc: int, pc: int, p: int, c: int, cf: int,
         acc_re = jnp.where(lane0, dcfix[0][:, None], acc_ref[0])
         acc_im = jnp.where(lane0, dcfix[1][:, None], acc_ref[1])
 
-        # ---- inverse rfft, tail half only (UPOLS output block)
-        out_ref[...] = _dot(acc_re.astype(abt_ref.dtype), abt_ref[0]) + _dot(
-            acc_im.astype(abt_ref.dtype), abt_ref[1]
+        # ---- inverse rfft, tail half only (UPOLS output block): ONE
+        # [C, 2B] @ [2B, B] GEMM over the lane-packed accumulator
+        accp = jnp.concatenate(
+            [acc_re.astype(abt_ref.dtype), acc_im.astype(abt_ref.dtype)],
+            axis=-1,
         )
+        out_ref[...] = _dot(accp, abt_ref[...])
 
         # ---- write back the scale table on the last step
         if quant:
@@ -730,8 +789,10 @@ def fused_stream(sigpad, fdl, filt_rim, pos0, dcfix_all, cs, abt,
     pos0     : int32 ring write position of the FIRST block
     dcfix_all: [nb, 2, C] f32 — per-block exact DC/Nyquist accumulators
                (precomputed; see ``conv.convolver._dcfix_sequence``)
-    cs       : [2, N, B] forward packed-DFT matrices
-    abt      : [2, B, B] inverse matrices, LAST-B columns only (tail half)
+    cs       : [N, 2B] forward packed-DFT matrix, cos|sin lane-packed
+               (ONE GEMM per block instead of two)
+    abt      : [2B, B] inverse matrix, LAST-B columns only (tail half),
+               the two planes row-packed (one GEMM)
     scales   : [P, cpad] f32 (int8/int16; cpad = 128-padded channels)
     sched    : optional ([nb, 2, L] c_idx, [nb, 1, 2] counts) —
                PRE-ROTATED chunk-schedule row PAIRS (entry [i, 0] is step
@@ -764,12 +825,14 @@ def fused_stream(sigpad, fdl, filt_rim, pos0, dcfix_all, cs, abt,
     from neojax.kernels.sparse_mac import lane_widths
 
     widths = tuple(lane_widths(b)) if n_sched else (b,)
+    fdl_bytes = int(fdl.size) * jnp.dtype(dt).itemsize
+    resident = n_sched == 0 and fdl_bytes <= _RESIDENT_MAX
     kernel = _mk_stream_kernel(
         nb=nb, npc=npc, pc=pc, p=p, c=c, cf=cf, b=b, cpad=cpad,
         quant=quant, shared=shared_filter,
         inv_max=inv_max, int_max=int_max, dt=dt, n_sched=n_sched,
         widths=widths, has_acc=acc_add is not None,
-        interpret_seed=interpret,
+        interpret_seed=interpret, resident=resident,
     )
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -785,8 +848,8 @@ def fused_stream(sigpad, fdl, filt_rim, pos0, dcfix_all, cs, abt,
         anym,                                   # sigpad (windowed manually)
         anym,                                   # fdl
         hbm,                                    # filt_rim
-        const(2, n, b),                         # cs (loaded once)
-        const(2, b, b),                         # abt (loaded once)
+        const(n, 2 * b),                        # cs (loaded once, lane-packed)
+        const(2 * b, b),                        # abt (loaded once, row-packed)
         pl.BlockSpec((1, 2, c), lambda i: (i, 0, 0)),  # dcfix rows
     ]
     args = [pos_arr, sigpad, fdl, filt_rim, cs, abt, dcfix_all]
@@ -829,7 +892,10 @@ def fused_stream(sigpad, fdl, filt_rim, pos0, dcfix_all, cs, abt,
     if quant:
         scratch.append(pltpu.VMEM((p, cpad), jnp.float32))  # scale table
     scratch += [
-        pltpu.VMEM((_SLOTS, 2, pc, c, b), dt),         # fdl chunk slots
+        # resident mode: the whole ring as ONE VMEM buffer; else chunk slots
+        pltpu.VMEM((2, p, c, b), dt)
+        if resident
+        else pltpu.VMEM((_SLOTS, 2, pc, c, b), dt),
         pltpu.VMEM((_SLOTS,) + rshape, filt_rim.dtype),  # filter slots
         pltpu.SemaphoreType.DMA((2,)),                 # window sems
         pltpu.SemaphoreType.DMA((_SLOTS, 3)),          # fdl / rim-re / rim-im

@@ -38,26 +38,30 @@ _INT_MAX = {jnp.dtype(jnp.int8): 127.0, jnp.dtype(jnp.int16): 32767.0}
 def _kernel(x_ref, scl_ref, fr_ref, fi_ref, or_ref, oi_ref, *, inv_max, gs):
     p = pl.program_id(1)
     x = x_ref[...].astype(jnp.float32)  # [2, 1, C, kt, L]
-    scl = scl_ref[...]  # [1, C, kt, G]
-    cb, kt, g = scl.shape[1], scl.shape[2], scl.shape[3]
     l = x.shape[-1]
-    if g == 1:
-        sc = scl[0] * inv_max  # [C, kt, 1] -> broadcasts along lanes
+    if scl_ref is None:  # unquantized planes (split/bf16): no dequant
+        xr = x[0, 0]
+        xi = x[1, 0]
     else:
-        # Lane-expand the group scales: [C*kt, G] @ one-hot [G, L] puts
-        # scale[c, k, m // gs] in every lane m — no reshape of the big
-        # operand, no HBM-side expansion.
-        rows = jax.lax.broadcasted_iota(jnp.int32, (g, l), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (g, l), 1)
-        e = jnp.where(cols // gs == rows, inv_max, 0.0).astype(jnp.float32)
-        sc = jax.lax.dot_general(
-            scl.reshape(cb * kt, g),
-            e,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).reshape(cb, kt, l)
-    xr = x[0, 0] * sc  # [C, kt, L]
-    xi = x[1, 0] * sc
+        scl = scl_ref[...]  # [1, C, kt, G]
+        cb, kt, g = scl.shape[1], scl.shape[2], scl.shape[3]
+        if g == 1:
+            sc = scl[0] * inv_max  # [C, kt, 1] -> broadcasts along lanes
+        else:
+            # Lane-expand the group scales: [C*kt, G] @ one-hot [G, L] puts
+            # scale[c, k, m // gs] in every lane m — no reshape of the big
+            # operand, no HBM-side expansion.
+            rows = jax.lax.broadcasted_iota(jnp.int32, (g, l), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (g, l), 1)
+            e = jnp.where(cols // gs == rows, inv_max, 0.0).astype(jnp.float32)
+            sc = jax.lax.dot_general(
+                scl.reshape(cb * kt, g),
+                e,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(cb, kt, l)
+        xr = x[0, 0] * sc  # [C, kt, L]
+        xi = x[1, 0] * sc
     fr = fr_ref[...][0].astype(jnp.float32)[None]  # [1, kt, L]
     fi = fi_ref[...][0].astype(jnp.float32)[None]
     re = xr * fr - xi * fi
@@ -80,18 +84,26 @@ def nested_mac_pallas(
 ):
     """acc = sum_p2 dequant(planes[p2]) * filt[p2], elementwise per (k, m).
 
-    planes  : [2, P2, C, K, L] int8/int16 meta-FDL (L = 2S meta-bins)
-    scales  : [P2, C, K, G] f32 group scales (G divides L; G=1 = row scale)
+    planes  : [2, P2, C, K, L] meta-FDL (L = 2S meta-bins): int8/int16
+              (with ``scales``) or f32/bf16 (``scales=None`` — no dequant,
+              the r5 extension that routes the split/bf16 meta MAC through
+              the same DMA-rate kernel instead of XLA's slower fusion)
+    scales  : [P2, C, K, G] f32 group scales (G divides L; G=1 = row
+              scale), or None for float planes
     filt_re/_im : [P2, K, L] (shared filter, already ring-rotated)
     returns : (acc_re, acc_im), each [C, K, L] f32
     """
     _, p2, c, k, l = planes.shape
-    g = scales.shape[-1]
-    assert l % g == 0, (l, g)
-    gs = l // g
+    quant = scales is not None
+    if quant:
+        g = scales.shape[-1]
+        assert l % g == 0, (l, g)
+        gs = l // g
+        inv_max = 1.0 / _INT_MAX[jnp.dtype(planes.dtype)]
+    else:
+        g, gs, inv_max = 1, l, 1.0
     kt = min(k_tile, k)
     nk = pl.cdiv(k, kt)
-    inv_max = 1.0 / _INT_MAX[jnp.dtype(planes.dtype)]
 
     grid = (nk, p2)
     out_shape = (
@@ -104,12 +116,28 @@ def nested_mac_pallas(
     )
     in_specs = [
         pl.BlockSpec((2, 1, c, kt, l), lambda kk, pp: (0, pp, 0, kk, 0)),
-        pl.BlockSpec((1, c, kt, g), lambda kk, pp: (pp, 0, kk, 0)),
+    ]
+    args = [planes]
+    if quant:
+        in_specs.append(pl.BlockSpec((1, c, kt, g), lambda kk, pp: (pp, 0, kk, 0)))
+        args.append(scales)
+    in_specs += [
         pl.BlockSpec((1, kt, l), lambda kk, pp: (pp, kk, 0)),
         pl.BlockSpec((1, kt, l), lambda kk, pp: (pp, kk, 0)),
     ]
+    args += [filt_re, filt_im]
+
+    def kern(*refs):
+        if quant:
+            x_ref, scl_ref, fr_ref, fi_ref, or_ref, oi_ref = refs
+        else:
+            x_ref, fr_ref, fi_ref, or_ref, oi_ref = refs
+            scl_ref = None
+        _kernel(x_ref, scl_ref, fr_ref, fi_ref, or_ref, oi_ref,
+                inv_max=inv_max, gs=gs)
+
     return pl.pallas_call(
-        functools.partial(_kernel, inv_max=inv_max, gs=gs),
+        kern,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -119,4 +147,4 @@ def nested_mac_pallas(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(planes, scales, filt_re, filt_im)
+    )(*args)
