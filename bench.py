@@ -268,7 +268,7 @@ def bench_perblock(storage, mac, fused=None):
     )
     params = cv.filter_params(cfg, parts)
     state = cv.init_state(cfg)
-    nb = 1280  # ~13.7 s: past the steady-state SNR window
+    nb = 8192  # ~87 s: amortizes the ~25 ms per-call tunnel RTT to <2 us/block
     sig = _signal(nb)
     proc = jax.jit(partial(cv.process, cfg), donate_argnums=(1,))
     dt, head = _time(proc, params, state, sig)
@@ -299,7 +299,7 @@ def bench_perblock_sparse(storage="bf16", density=0.3):
     mask[: int(p * density)] = True
     params = cv.filter_params(cfg, parts, sparsity=mask)
     state = cv.init_state(cfg)
-    nb = 1280
+    nb = 8192
     sig = _signal(nb)
     proc = jax.jit(partial(cv.process, cfg), donate_argnums=(1,))
     dt, _ = _time(proc, params, state, sig)

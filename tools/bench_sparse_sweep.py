@@ -1,4 +1,4 @@
-"""Fused-sparse density sweep (SPARSE_SWEEP.json), committed form (r4).
+"""Fused-sparse density sweep (SPARSE_SWEEP.json), r5 slope-timed form.
 
 Band masks (first fraction of partitions — IR truncation structure)
 through the fused whole-stream kernel's chunk schedule, one process, one
@@ -28,7 +28,7 @@ BLOCK = 512
 CHANNELS = 64
 P = 960
 STORAGE = "bf16"
-NB = 1875
+NBS = (1024, 8192)  # slope-timed: the flat per-call RTT cancels
 DENSITIES = [1.0 / 30.0, 0.1, 0.3, 0.5, 0.7]
 
 
@@ -52,37 +52,45 @@ def main() -> None:
         )
         * 0.05
     ).astype(np.complex64)
-    sig = jax.jit(
-        lambda: jax.random.uniform(
-            jax.random.PRNGKey(1), (CHANNELS, NB * BLOCK), jnp.float32, -1, 1
-        )
-    )()
-    jax.block_until_ready(sig)
+    sigs = {
+        nb: jax.block_until_ready(jax.jit(
+            lambda nb=nb: jax.random.uniform(
+                jax.random.PRNGKey(1), (CHANNELS, nb * BLOCK), jnp.float32,
+                -1, 1,
+            )
+        )())
+        for nb in NBS
+    }
 
     def run(mask):
+        """us/block via the slope of two stream lengths (per-call RTT
+        cancels; r4 divided one wall by nb and booked ~14 us of tunnel
+        latency into every row, inflating the fit's fixed term)."""
         cfg = cv.PartitionedConfig(
             BLOCK, P, CHANNELS, storage=STORAGE, mac_backend="pallas",
             fused=True,
         )
         params = cv.filter_params(cfg, parts, sparsity=mask)
-        state = cv.init_state(cfg)
         proc = jax.jit(partial(cv.process, cfg), donate_argnums=(1,))
-        st, out = proc(params, state, sig)
-        float(jnp.sum(jnp.abs(out)))
-        ts = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            st, out = proc(params, st, sig)
+        walls = []
+        for nb in NBS:
+            st, out = proc(params, cv.init_state(cfg), sigs[nb])
             float(jnp.sum(jnp.abs(out)))
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
+            ts = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                st, out = proc(params, st, sigs[nb])
+                float(jnp.sum(jnp.abs(out)))
+                ts.append(time.perf_counter() - t0)
+            walls.append(min(ts))
+        return (walls[1] - walls[0]) / (NBS[1] - NBS[0])
 
     rows = {}
-    dt = run(None)
-    dense_us = dt / NB * 1e6
+    dtb = run(None)
+    dense_us = dtb * 1e6
     rows["dense"] = {
         "us_per_block": round(dense_us, 1),
-        "samples_per_sec": round(CHANNELS * NB * BLOCK / dt, 1),
+        "samples_per_sec": round(CHANNELS * BLOCK / dtb, 1),
     }
     print(f"# dense: {dense_us:.1f} us/block", file=sys.stderr)
 
@@ -90,12 +98,12 @@ def main() -> None:
     for d in DENSITIES:
         mask = np.zeros((P, BLOCK + 1), bool)
         mask[: max(1, int(P * d))] = True
-        dt = run(mask)
-        us = dt / NB * 1e6
+        dtb = run(mask)
+        us = dtb * 1e6
         key = f"density_{d:.3f}" if d < 0.1 else f"density_{d:.1f}"
         rows[key] = {
             "us_per_block": round(us, 1),
-            "samples_per_sec": round(CHANNELS * NB * BLOCK / dt, 1),
+            "samples_per_sec": round(CHANNELS * BLOCK / dtb, 1),
             "speedup_vs_dense": round(dense_us / us, 2),
         }
         xs.append(max(1, int(P * d)) / P)
