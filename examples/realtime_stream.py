@@ -83,8 +83,7 @@ def main() -> None:
     # warm both jitted paths (compile happens here, not in the "callback")
     for i in range(2 * s):
         np.asarray(stream(sig[:, i * b : (i + 1) * b]))
-    stream.state = stream.init_state()
-    stream._r = 0
+    stream.reset()
 
     lat = np.zeros(nb)
     outs = []

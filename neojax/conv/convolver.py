@@ -714,14 +714,8 @@ def _process_fused_stream(config, params, state, blocks, length):
     )
 
     mat_dt = jnp.bfloat16 if config.storage in ("bf16", "int8") else jnp.float32
-    # lane-packed single-GEMM transform matrices (see fused_stream)
-    cs = jnp.concatenate(
-        matmul_backend.rfft_packed_matrices(n), axis=-1
-    ).astype(mat_dt)  # [N, 2B]
-    _ia, _ib = matmul_backend.irfft_packed_matrices(n)
-    abt = jnp.concatenate([_ia[:, b:], _ib[:, b:]], axis=0).astype(
-        mat_dt
-    )  # [2B, B] tail-half inverse columns
+    # the fused kernel's transform-matrix ABI, built in one place
+    cs, abt = matmul_backend.packed_stream_mats(n, mat_dt)
 
     sched = None
     if "sp_c_idx" in params:

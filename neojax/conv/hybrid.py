@@ -266,13 +266,7 @@ def process_hybrid(
         mat_dt = (
             jnp.bfloat16 if _head_storage(config) == "bf16" else jnp.float32
         )
-        cs_h = jnp.concatenate(
-            matmul_backend.rfft_packed_matrices(n), axis=-1
-        ).astype(mat_dt)  # [N, 2B] lane-packed (see fused_stream)
-        _ia, _ib = matmul_backend.irfft_packed_matrices(n)
-        abt_h = jnp.concatenate([_ia[:, b:], _ib[:, b:]], axis=0).astype(
-            mat_dt
-        )  # [2B, B]
+        cs_h, abt_h = matmul_backend.packed_stream_mats(n, mat_dt)
         cpad = -(-c // 128) * 128
 
     def fused_head_chunk(btail, hfdl, hdcny, hpos, tail_frames, chunk):
@@ -586,7 +580,14 @@ class HybridStream:
             )
         self._jit_block = jax.jit(self._block_step, donate_argnums=(0,))
         self._jit_tail = jax.jit(self._tail_step, donate_argnums=(0,))
+        self.reset()
+
+    def reset(self) -> None:
+        """Return to a fresh-stream state. The ONLY supported way to
+        restart: it keeps the host-side chunk-phase counter in sync with
+        the device state (assigning ``self.state`` alone would not)."""
         self.state = self.init_state()
+        self._r = 0
 
     def init_state(self) -> dict:
         cfg = self.config
@@ -706,7 +707,23 @@ class HybridStream:
             )
             mscales = None
 
-        if tail_shared:
+        if tail_shared and nested_lib._use_nested_kernel(cfg):
+            # same Pallas nested-MAC routing as process_hybrid: the
+            # chunk-boundary callback (the latency spike the per-block
+            # driver bounds) reads the meta planes at DMA rate
+            from neojax.kernels.nested_mac import nested_mac_pallas
+
+            fre = jax.lax.dynamic_slice_in_dim(tail_re, p2t - 1 - mpos, p2t, axis=0)
+            fim = jax.lax.dynamic_slice_in_dim(tail_im, p2t - 1 - mpos, p2t, axis=0)
+            acc_re, acc_im = nested_mac_pallas(
+                mfdl,
+                mscales if quant else None,
+                fre[:, 0].astype(jnp.float32),
+                fim[:, 0].astype(jnp.float32),
+                interpret=nested_lib._INTERPRET,
+            )
+            xr = None
+        elif tail_shared:
             fre = jax.lax.dynamic_slice_in_dim(tail_re, p2t - 1 - mpos, p2t, axis=0)
             fim = jax.lax.dynamic_slice_in_dim(tail_im, p2t - 1 - mpos, p2t, axis=0)
             xr = mfdl[0].astype(jnp.float32)
@@ -721,14 +738,19 @@ class HybridStream:
             fr2 = tail_re.astype(jnp.float32)
             fi2 = tail_im.astype(jnp.float32)
             dq = mscales[ages] if quant else None
-        if quant:
-            g = nested_lib._quant_groups(cfg, s)
-            gs = 2 * s // g
-            dqv = (dq * (1.0 / imax))[..., None]
-            xr = (xr.reshape(p2t, c, k, g, gs) * dqv).reshape(p2t, c, k, 2 * s)
-            xi = (xi.reshape(p2t, c, k, g, gs) * dqv).reshape(p2t, c, k, 2 * s)
-        acc_re = jnp.sum(xr * fr2 - xi * fi2, axis=0)
-        acc_im = jnp.sum(xr * fi2 + xi * fr2, axis=0)
+        if xr is not None:
+            if quant:
+                g = nested_lib._quant_groups(cfg, s)
+                gs = 2 * s // g
+                dqv = (dq * (1.0 / imax))[..., None]
+                xr = (xr.reshape(p2t, c, k, g, gs) * dqv).reshape(
+                    p2t, c, k, 2 * s
+                )
+                xi = (xi.reshape(p2t, c, k, g, gs) * dqv).reshape(
+                    p2t, c, k, 2 * s
+                )
+            acc_re = jnp.sum(xr * fr2 - xi * fi2, axis=0)
+            acc_im = jnp.sum(xr * fi2 + xi * fr2, axis=0)
 
         accp = jnp.concatenate([acc_re, acc_im], axis=-1)
         yt = matmul_backend._matmul(accp, meta_mi_tail, fwd_prec)
@@ -754,7 +776,7 @@ class HybridStream:
         counter."""
         block = jnp.asarray(block, jnp.float32)
         self.state, out = self._jit_block(self.state, block)
-        self._r = getattr(self, "_r", 0) + 1
+        self._r += 1
         if self._r == self.s:
             self._r = 0
             if self.has_tail:

@@ -267,6 +267,20 @@ def rfft_packed_matrices(n: int):
     return jnp.asarray(c), jnp.asarray(s)
 
 
+def packed_stream_mats(n: int, dtype):
+    """The fused whole-stream kernel's transform-matrix ABI
+    (``kernels.fused_step.fused_stream``): ONE lane-packed forward matrix
+    ``cs [N, 2B]`` (cos | sin) and ONE row-packed tail-half inverse
+    ``abt [2B, B]`` (last-B columns of both planes). Shared by every
+    fused_stream caller — the packing layout must match the kernel's
+    slicing exactly, so build it here and nowhere else."""
+    b = n // 2
+    cs = jnp.concatenate(rfft_packed_matrices(n), axis=-1).astype(dtype)
+    ia, ib = irfft_packed_matrices(n)
+    abt = jnp.concatenate([ia[:, b:], ib[:, b:]], axis=0).astype(dtype)
+    return cs, abt
+
+
 def irfft_packed_matrices(n: int):
     b = n // 2
     if _use_traced(n, b, n):

@@ -64,8 +64,15 @@ __all__ = [
 # 8-shift rim DMA slices rows at 8-aligned offsets.
 _CHUNK_TARGET = 1024 * 1024
 
-# FDL chunk buffer slots (in-flight DMA depth + 1 in compute).
+# FDL chunk buffer slots (in-flight DMA depth + 1 in compute). Wide
+# configs whose chunks are large shrink the slot count so chunk scratch
+# stays within the VMEM budget (see _slots_for).
 _SLOTS = 4
+_SLOT_BYTES_MAX = 32 * 1024 * 1024
+
+
+def _slots_for(chunk_bytes: int) -> int:
+    return max(2, min(_SLOTS, _SLOT_BYTES_MAX // max(1, chunk_bytes)))
 
 # CPU tests flip this to run the kernel in interpreter mode through the
 # full convolver path (clear jax caches after flipping back).
@@ -116,7 +123,7 @@ def _dot(a, bm):
 
 def _mk_kernel(*, npc: int, pc: int, p: int, c: int, cf: int, b: int, cpad: int,
                quant: bool, shared: bool, inv_max: float, int_max: float, dt,
-               n_sched: int = 0):
+               n_sched: int = 0, slots: int = _SLOTS):
     sparse = n_sched > 0
 
     def kernel(pos_ref, frame_ref, fdl_any, rim_any, cs_ref, ab_any,
@@ -216,11 +223,11 @@ def _mk_kernel(*, npc: int, pc: int, p: int, c: int, cf: int, b: int, cpad: int,
         acc_ref[...] = jnp.zeros((2, c, b), jnp.float32)
 
         def body(j, carry):
-            slot = lax.rem(j, _SLOTS)
+            slot = lax.rem(j, slots)
 
             @pl.when(j + 2 < nloop)
             def _():
-                start_chunk(lax.rem(j + 2, _SLOTS), j + 2)
+                start_chunk(lax.rem(j + 2, slots), j + 2)
 
             wait_chunk(slot, j)
             cj = chunk_of(j)
@@ -352,6 +359,7 @@ def fused_block_step(frame, fdl, filt_rim, pos, dcfix, cs, ab,
     inv_max = 1.0 / int_max if quant else 1.0
     pc = fused_chunk_rows(dt, p, c, b)
     npc = p // pc
+    slots = _slots_for(2 * pc * c * b * jnp.dtype(dt).itemsize)
     n_sched = 0 if sched is None else int(sched[0].shape[0])
     # Scales are lane-padded to a 128 multiple: Mosaic requires the row
     # writeback slice (and VMEM loads) to be tile-aligned along lanes.
@@ -367,6 +375,7 @@ def fused_block_step(frame, fdl, filt_rim, pos, dcfix, cs, ab,
         npc=npc, pc=pc, p=p, c=c, cf=cf, b=b, cpad=cpad,
         quant=quant, shared=shared_filter,
         inv_max=inv_max, int_max=int_max, dt=dt, n_sched=n_sched,
+        slots=slots,
     )
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -402,12 +411,12 @@ def fused_block_step(frame, fdl, filt_rim, pos, dcfix, cs, ab,
         pltpu.VMEM((2, 1, c, b), dt),                  # qrow (row-shaped)
         pltpu.VMEM((2, c, b), jnp.float32),            # acc
         pltpu.VMEM((2, b, n), ab.dtype),               # inverse matrices
-        pltpu.VMEM((_SLOTS, 2, pc, c, b), dt),         # fdl chunk slots
-        pltpu.VMEM((_SLOTS,) + rshape, filt_rim.dtype),  # filter slots
+        pltpu.VMEM((slots, 2, pc, c, b), dt),          # fdl chunk slots
+        pltpu.VMEM((slots,) + rshape, filt_rim.dtype),  # filter slots
     ]
     if quant:
         scratch.append(pltpu.VMEM((1, 1, cpad), jnp.float32))  # scale row
-    scratch.append(pltpu.SemaphoreType.DMA((_SLOTS, 2)))  # per-slot chunk sems
+    scratch.append(pltpu.SemaphoreType.DMA((slots, 2)))  # per-slot chunk sems
     scratch.append(pltpu.SemaphoreType.DMA((3,)))      # row / scale / ab sems
 
     out = pl.pallas_call(
@@ -475,7 +484,7 @@ def _mk_stream_kernel(*, nb: int, npc: int, pc: int, p: int, c: int, cf: int,
                       b: int, cpad: int, quant: bool, shared: bool,
                       inv_max: float, int_max: float, dt, n_sched: int,
                       widths: tuple, has_acc: bool, interpret_seed: bool,
-                      resident: bool = False):
+                      resident: bool = False, slots: int = _SLOTS):
     sparse = n_sched > 0
     n = 2 * b
 
@@ -691,11 +700,11 @@ def _mk_stream_kernel(*, nb: int, npc: int, pc: int, p: int, c: int, cf: int,
             acc_ref[...] = jnp.zeros((2, c, b), jnp.float32)
 
         def body(j, carry):
-            slot = _rem(j, _SLOTS)
+            slot = _rem(j, slots)
 
             @pl.when(j + 2 < nloop)
             def _():
-                start_chunk(_rem(j + 2, _SLOTS), 0, j + 2, rot_i)
+                start_chunk(_rem(j + 2, slots), 0, j + 2, rot_i)
 
             wait_chunk(slot, 0, j)
             cj, wc = chunk_of(0, j)
@@ -819,6 +828,7 @@ def fused_stream(sigpad, fdl, filt_rim, pos0, dcfix_all, cs, abt,
     inv_max = 1.0 / int_max if quant else 1.0
     pc = fused_chunk_rows(dt, p, c, b)
     npc = p // pc
+    slots = _slots_for(2 * pc * c * b * jnp.dtype(dt).itemsize)
     n_sched = 0 if sched is None else int(sched[0].shape[2])
     cpad = -(-c // 128) * 128
 
@@ -832,7 +842,7 @@ def fused_stream(sigpad, fdl, filt_rim, pos0, dcfix_all, cs, abt,
         quant=quant, shared=shared_filter,
         inv_max=inv_max, int_max=int_max, dt=dt, n_sched=n_sched,
         widths=widths, has_acc=acc_add is not None,
-        interpret_seed=interpret, resident=resident,
+        interpret_seed=interpret, resident=resident, slots=slots,
     )
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -895,10 +905,10 @@ def fused_stream(sigpad, fdl, filt_rim, pos0, dcfix_all, cs, abt,
         # resident mode: the whole ring as ONE VMEM buffer; else chunk slots
         pltpu.VMEM((2, p, c, b), dt)
         if resident
-        else pltpu.VMEM((_SLOTS, 2, pc, c, b), dt),
-        pltpu.VMEM((_SLOTS,) + rshape, filt_rim.dtype),  # filter slots
+        else pltpu.VMEM((slots, 2, pc, c, b), dt),
+        pltpu.VMEM((slots,) + rshape, filt_rim.dtype),  # filter slots
         pltpu.SemaphoreType.DMA((2,)),                 # window sems
-        pltpu.SemaphoreType.DMA((_SLOTS, 3)),          # fdl / rim-re / rim-im
+        pltpu.SemaphoreType.DMA((slots, 3)),           # fdl / rim-re / rim-im
         pltpu.SemaphoreType.DMA((2,)),                 # row / scales sems
     ]
 

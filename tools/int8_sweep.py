@@ -40,6 +40,7 @@ PREC = {
 
 
 def run_row(storage, prec_name, groups, mac_backend, s=128):
+    orig_groups = dict(nested._QUANT_GROUPS)
     nested._QUANT_GROUPS["int8"] = groups
     orig = nested._fft_precisions
     nested._fft_precisions = lambda config: PREC[prec_name]
@@ -69,6 +70,8 @@ def run_row(storage, prec_name, groups, mac_backend, s=128):
         return head, wall
     finally:
         nested._fft_precisions = orig
+        nested._QUANT_GROUPS.clear()
+        nested._QUANT_GROUPS.update(orig_groups)
 
 
 def main():
@@ -84,6 +87,10 @@ def main():
         ("int8/high/G32/xla", "int8", "high", 32, "xla"),
         ("int8/highest/G32/xla", "int8", "highest", 32, "xla"),
         ("int8/highest/G64/xla", "int8", "highest", 64, "xla"),
+        # the SHIPPED configuration (nested._QUANT_GROUPS int8=64 + HIGH
+        # + the Pallas nested-MAC kernel) and its XLA twin
+        ("int8/high/G64/xla", "int8", "high", 64, "xla"),
+        ("int8/high/G64/pallas", "int8", "high", 64, "pallas"),
         ("int16/high/-/xla", "int16", "high", 16, "xla"),
         ("bf16/default/-/xla", "bf16", "default", 16, "xla"),
         ("split/highest/-/xla", "split", "highest", 16, "xla"),
