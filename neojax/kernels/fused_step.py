@@ -15,10 +15,11 @@ dispatches, insert) and overlaps the first FDL chunk's DMA with the
 forward transform, pushing the per-block path to the HBM roofline
 (BASELINE.json's "speed-of-light" bar).
 
-Pipeline shape (measured on v5e): FDL chunks stream through THREE VMEM
-slots with two chunks in flight — two slots were ~15% off the DMA
-engine's streaming rate — and the rotated filter rides ONE DMA per chunk
-(re|im planes packed along lanes).  Quantization scales are a
+Pipeline shape (measured on v5e): FDL chunks stream through up to four
+VMEM slots (1 MB chunks pipeline best; wide configs shrink the slot
+count to bound VMEM), the rotated filter rides ONE DMA per chunk (re|im
+planes packed along lanes), and rings small enough for VMEM stay
+RESIDENT across the whole stream. Quantization scales are a
 VMEM-resident input (direct row loads, no per-chunk DMA).
 
 Layout contract (identical to the unfused path, so outputs match within
