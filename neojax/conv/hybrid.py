@@ -156,14 +156,15 @@ def _head_storage_init(config, s):
 def _use_fused_head(config: PartitionedConfig) -> bool:
     """The head runs through the fused whole-stream Pallas kernel on TPU
     (or in interpreter mode for tests): DFT matrices are fetched once per
-    CHUNK instead of re-read every block, and the per-block XLA glue
-    around the small head MAC disappears.
+    CHUNK instead of re-read every block, the per-block XLA glue around
+    the small head MAC disappears, and the S-row ring stays VMEM-RESIDENT
+    across the chunk (r5, ``fused_step._RESIDENT_MAX``).
 
-    Measured same-process A/B at the headline config (S=64, v5e):
-    split 370->482 M samples/s, int16 557->734, int8 720->839 — but bf16
-    873->739: the kernel's ~40 us/block fixed cost (window DMA waits,
-    8-shift filter DMAs, semaphores) exceeds what bf16's small 8 MB ring
-    saves, so bf16 keeps the XLA head."""
+    Storage gate measured same-process at the headline config (S=64,
+    v5e, r5): split/int16/int8 all win big through the kernel (split
+    696 vs ~450 M samples/s); bf16 measured 951 fused vs 966 XLA — its
+    ring is small enough that the XLA head keeps a slim edge, so bf16
+    stays on the XLA path."""
     import jax as _jax
 
     from neojax.kernels import fused_step as _fs
