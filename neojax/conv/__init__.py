@@ -1,5 +1,6 @@
 """neojax.conv — the convolution engine (direct, FFT, OLS/OLA, partitioned FDL)."""
 
+from neojax.conv.engines import Engine, make_engine
 from neojax.conv.convolver import (
     Convolver,
     PartitionedConfig,
@@ -40,6 +41,8 @@ from neojax.conv.sparse import perceptual_mask, perceptual_weights, sparsity_mas
 from neojax.ops.normalize import normalize_impulse
 
 __all__ = [
+    "Engine",
+    "make_engine",
     "Convolver",
     "PartitionedConfig",
     "filter_params",

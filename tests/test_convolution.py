@@ -416,3 +416,38 @@ def test_block_multiple_chunks_via_fifo(make_noise):
     assert c.latency == b - 1
     assert np.abs(got[:, : b - 1]).max() == 0.0
     np.testing.assert_allclose(got[:, b - 1 :], want, atol=1e-6)
+
+
+def test_make_engine_uniform_surface(make_noise):
+    """All four engines behind one handle produce the same convolution
+    (within their storage/scheduling tolerance) and carry state across
+    process() calls."""
+    b, s, c, p = 32, 4, 2, 12
+    ir = make_noise(p * b) * 0.2
+    parts = conv.uniform_partition(ir, b)
+    sig = make_noise(c, 4 * s * b)
+    sig2 = make_noise(c, 2 * s * b)
+
+    ref_eng = conv.make_engine("perblock", parts, storage="split", channels=c)
+    ref = np.concatenate(
+        [np.asarray(ref_eng.process(sig)), np.asarray(ref_eng.process(sig2))],
+        axis=-1,
+    )
+    full = np.concatenate([np.asarray(sig), np.asarray(sig2)], axis=-1)
+
+    for engine in ("nested", "hybrid", "chunked"):
+        eng = conv.make_engine(
+            engine, parts, storage="split", chunk_blocks=s, channels=c
+        )
+        out = np.concatenate(
+            [np.asarray(eng.process(sig)), np.asarray(eng.process(sig2))],
+            axis=-1,
+        )
+        np.testing.assert_allclose(out, ref, atol=2e-5, err_msg=engine)
+        # reset gives a fresh stream
+        eng.reset()
+        out_r = np.asarray(eng.process(full))
+        np.testing.assert_allclose(out_r, ref, atol=2e-5, err_msg=engine)
+
+    with pytest.raises(ValueError, match="unknown engine"):
+        conv.make_engine("warp", parts)
